@@ -1,0 +1,333 @@
+"""QA-TIGER building blocks, functional JAX edition.
+
+Each block mirrors the reference module of the same name
+(reference: src/models/modules.py) in parameter structure and numerics, but
+the computation is re-expressed TPU-first: batch-first layouts, no python
+loops in the traced graph (expert MLPs and Gaussian masks are batched einsums,
+see qa_tiger_tpu/ops/tempmoe.py), and dropout keys derived functionally.
+
+Blocks:
+- Projection        (ref src/models/modules.py:19-43)
+- AVCrossAttn       (ref 46-156; defined-but-unused by QA_TIGER — kept for parity)
+- AVQCrossAttn      (ref 159-265)
+- QstGrounding      (ref 268-347)
+- TempMoE           (ref 350-612)
+- PatchSelecter     (ref 615-716)
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.nn import (
+    dropout,
+    kaiming_linear_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    mha,
+    mha_init,
+    mlp2,
+    mlp2_init,
+    next_rng,
+)
+from qa_tiger_tpu.ops.tempmoe import (
+    experts_forward,
+    gaussian_expert_aggregate,
+    gaussian_weights,
+    topk_renormalized,
+)
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Projection
+# ---------------------------------------------------------------------------
+
+def projection_init(key: jax.Array, inp_dim: int, d_model: int) -> Params:
+    """nn.Linear wrapped as 'proj'; kaiming-normal init applied by the parent
+    net (ref src/models/net.py:63-68)."""
+    return {"proj": kaiming_linear_init(key, inp_dim, d_model)}
+
+
+def projection(params: Params, x: jax.Array) -> jax.Array:
+    return linear(params["proj"], x)
+
+
+# ---------------------------------------------------------------------------
+# AVCrossAttn (bidirectional self+cross block; unused by QA_TIGER but part of
+# the reference component inventory)
+# ---------------------------------------------------------------------------
+
+def av_cross_attn_init(key: jax.Array, d_model: int) -> Params:
+    keys = jax.random.split(key, 4)
+    return {
+        "crs_attn": mha_init(keys[0], d_model),
+        "slf_attn": mha_init(keys[1], d_model),
+        "linear1": kaiming_linear_init(keys[2], d_model, d_model),
+        "linear2": kaiming_linear_init(keys[3], d_model, d_model),
+        "norm1": layer_norm_init(d_model),
+        "norm2": layer_norm_init(d_model),
+    }
+
+
+def _av_sub_forward(params: Params, src_q: jax.Array, src_v: jax.Array,
+                    *, nhead: int, dropout_p: float, train: bool,
+                    rng: Optional[jax.Array]) -> jax.Array:
+    slf, _ = mha(params["slf_attn"], src_q, src_q, src_q, num_heads=nhead,
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 0))
+    crs, _ = mha(params["crs_attn"], src_q, src_v, src_v, num_heads=nhead,
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1))
+    x = src_q + dropout(next_rng(rng, 2), slf, dropout_p, train) \
+        + dropout(next_rng(rng, 3), crs, dropout_p, train)
+    x = layer_norm(params["norm1"], x)
+    ffn = linear(params["linear2"],
+                 dropout(next_rng(rng, 4), jax.nn.relu(linear(params["linear1"], x)),
+                         dropout_p, train))
+    x = x + dropout(next_rng(rng, 5), ffn, dropout_p, train)
+    return layer_norm(params["norm2"], x)
+
+
+def av_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
+                  *, nhead: int = 8, dropout_p: float = 0.1,
+                  train: bool = False, rng: Optional[jax.Array] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
+    src1 = _av_sub_forward(params, src_q, src_v, nhead=nhead,
+                           dropout_p=dropout_p, train=train,
+                           rng=next_rng(rng, 10))
+    src2 = _av_sub_forward(params, src_v, src_q, nhead=nhead,
+                           dropout_p=dropout_p, train=train,
+                           rng=next_rng(rng, 11))
+    return src1, src2
+
+
+# ---------------------------------------------------------------------------
+# AVQCrossAttn
+# ---------------------------------------------------------------------------
+
+def avq_cross_attn_init(key: jax.Array, d_model: int) -> Params:
+    keys = jax.random.split(key, 5)
+    return {
+        "qst_attn": mha_init(keys[0], d_model),
+        "crs_attn": mha_init(keys[1], d_model),
+        "slf_attn": mha_init(keys[2], d_model),
+        "linear1": kaiming_linear_init(keys[3], d_model, d_model),
+        "linear2": kaiming_linear_init(keys[4], d_model, d_model),
+        "norm1": layer_norm_init(d_model),
+        "norm2": layer_norm_init(d_model),
+    }
+
+
+def _avq_sub_forward(params: Params, src_q: jax.Array, src_v: jax.Array,
+                     query: jax.Array, *, nhead: int, dropout_p: float,
+                     train: bool, rng: Optional[jax.Array]
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """One direction: residual = src + drop(slf) + drop(crs) + drop(qst)
+    (ref src/models/modules.py:215-228). Returns (out, question-attn weights)."""
+    qst_out, weight = mha(params["qst_attn"], src_q, query, query,
+                          num_heads=nhead, dropout_p=dropout_p, train=train,
+                          rng=next_rng(rng, 0))
+    slf, _ = mha(params["slf_attn"], src_q, src_q, src_q, num_heads=nhead,
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1))
+    crs, _ = mha(params["crs_attn"], src_q, src_v, src_v, num_heads=nhead,
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 2))
+    x = src_q \
+        + dropout(next_rng(rng, 3), slf, dropout_p, train) \
+        + dropout(next_rng(rng, 4), crs, dropout_p, train) \
+        + dropout(next_rng(rng, 5), qst_out, dropout_p, train)
+    x = layer_norm(params["norm1"], x)
+    ffn = linear(params["linear2"],
+                 dropout(next_rng(rng, 6), jax.nn.relu(linear(params["linear1"], x)),
+                         dropout_p, train))
+    x = x + dropout(next_rng(rng, 7), ffn, dropout_p, train)
+    return layer_norm(params["norm2"], x), weight
+
+
+def avq_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
+                   query: jax.Array, *, nhead: int = 8, dropout_p: float = 0.1,
+                   train: bool = False, rng: Optional[jax.Array] = None,
+                   visualize: bool = False):
+    """Bidirectional question-guided cross attention (ref 239-265).
+
+    Both directions share the same parameter set, exactly like the reference
+    calling self.sub_forward twice.
+    """
+    src1, a_w = _avq_sub_forward(params, src_q, src_v, query, nhead=nhead,
+                                 dropout_p=dropout_p, train=train,
+                                 rng=next_rng(rng, 10))
+    src2, v_w = _avq_sub_forward(params, src_v, src_q, query, nhead=nhead,
+                                 dropout_p=dropout_p, train=train,
+                                 rng=next_rng(rng, 11))
+    if visualize:
+        return src1, src2, [a_w, v_w]
+    return src1, src2
+
+
+# ---------------------------------------------------------------------------
+# QstGrounding
+# ---------------------------------------------------------------------------
+
+def qst_grounding_init(key: jax.Array, d_model: int) -> Params:
+    keys = jax.random.split(key, 2)
+    return {
+        "attn": mha_init(keys[0], d_model),
+        "mlp": mlp2_init(keys[1], d_model, d_model // 2, d_model, init="kaiming"),
+        "norm": layer_norm_init(d_model),
+    }
+
+
+def qst_grounding(params: Params, qst: jax.Array,
+                  data: Union[jax.Array, List[jax.Array]], *,
+                  nhead: int = 8, dropout_p: float = 0.1, train: bool = False,
+                  rng: Optional[jax.Array] = None) -> jax.Array:
+    """Question-as-query attention fusion (ref src/models/modules.py:304-347).
+
+    out = mean_seq(data) + dropout(MLP(attn(qst, data, data))), LayerNorm.
+    ``data`` may be a list of [B, S_i, D] streams concatenated along seq.
+    """
+    if isinstance(data, (list, tuple)):
+        data = jnp.concatenate(list(data), axis=1)
+    q = qst[:, None, :]  # [B, 1, D]
+    attn_out, _ = mha(params["attn"], q, data, data, num_heads=nhead,
+                      dropout_p=0.1, train=train, rng=next_rng(rng, 0))
+    attn_out = attn_out[:, 0]
+    feat = jnp.mean(data, axis=1) + dropout(
+        next_rng(rng, 1), mlp2(params["mlp"], attn_out), dropout_p, train
+    )
+    return layer_norm(params["norm"], feat)
+
+
+# ---------------------------------------------------------------------------
+# TempMoE
+# ---------------------------------------------------------------------------
+
+def temp_moe_init(key: jax.Array, d_model: int, n_experts: int,
+                  vis_branch: bool = False) -> Params:
+    keys = jax.random.split(key, 3 + n_experts)
+    params: Params = {
+        "qst_attn": mha_init(keys[0], d_model),
+        "gauss_pred": {"0": kaiming_linear_init(keys[1], d_model, 2 * n_experts)},
+        "router": {"0": kaiming_linear_init(keys[2], d_model, n_experts)},
+        "experts": {
+            str(i): mlp2_init(keys[3 + i], d_model, d_model // 2, d_model,
+                              init="kaiming")
+            for i in range(n_experts)
+        },
+    }
+    if vis_branch:
+        params["anorm"] = layer_norm_init(d_model)
+        params["vnorm"] = layer_norm_init(d_model)
+    else:
+        params["norm"] = layer_norm_init(d_model)
+    return params
+
+
+def _stack_experts(params: Params, n_experts: int):
+    w1 = jnp.stack([params["experts"][str(i)]["0"]["weight"] for i in range(n_experts)])
+    b1 = jnp.stack([params["experts"][str(i)]["0"]["bias"] for i in range(n_experts)])
+    w2 = jnp.stack([params["experts"][str(i)]["2"]["weight"] for i in range(n_experts)])
+    b2 = jnp.stack([params["experts"][str(i)]["2"]["bias"] for i in range(n_experts)])
+    return w1, b1, w2, b2
+
+
+def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
+             sub_data: Optional[List[jax.Array]] = None, *,
+             nhead: int = 8, topK: int = 5, n_experts: int = 10,
+             sigma: float = 9.0, train: bool = False,
+             rng: Optional[jax.Array] = None):
+    """Question-aware temporal Gaussian mixture of experts (ref 350-612).
+
+    Returns [B, 1, D] (or a pair for the visual branch), matching the
+    reference's output shape contract. The margin/base-center schedule is
+    re-derived from ``n_experts`` — it is NOT a checkpointed parameter
+    (ref 404-408).
+    """
+    B, T, C = data.shape
+    margin = 1.0 / (n_experts * 2)
+    base_centers = jnp.linspace(margin, 1.0 - margin, n_experts,
+                                dtype=jnp.float32)
+
+    # question attends the temporal stream -> routing feature [B, D]
+    temp_w, _ = mha(params["qst_attn"], qst[:, None, :], data, data,
+                    num_heads=nhead, dropout_p=0.1, train=train,
+                    rng=next_rng(rng, 0))
+    temp_w = temp_w[:, 0]
+
+    router_probs = jax.nn.softmax(
+        linear(params["router"]["0"], temp_w).astype(jnp.float32), axis=-1
+    )
+    topk_probs, topk_inds = topk_renormalized(router_probs, topK)
+
+    gauss_cw = linear(params["gauss_pred"]["0"], temp_w)
+    gauss_cw = gauss_cw.reshape(B, n_experts, 2).astype(jnp.float32)
+    centers = base_centers[None, :] + jnp.tanh(gauss_cw[:, :, 0]) * margin
+    widths = jax.nn.sigmoid(gauss_cw[:, :, 1])
+    sel_centers = jnp.take_along_axis(centers, topk_inds, axis=1)
+    sel_widths = jnp.take_along_axis(widths, topk_inds, axis=1)
+    gauss_w = gaussian_weights(sel_centers, sel_widths, T, sigma)  # [B, K, T]
+
+    w1, b1, w2, b2 = _stack_experts(params, n_experts)
+
+    def aggregate(stream: jax.Array) -> jax.Array:
+        expert_out = experts_forward(w1, b1, w2, b2, stream)  # [B, T, E, D]
+        out = gaussian_expert_aggregate(expert_out, gauss_w, topk_inds,
+                                        topk_probs.astype(stream.dtype))
+        return out[:, None, :]  # [B, 1, D]
+
+    if sub_data is not None:
+        a_outs = aggregate(data + sub_data[0])
+        v_outs = aggregate(data + sub_data[1])
+        return (layer_norm(params["anorm"], a_outs),
+                layer_norm(params["vnorm"], v_outs))
+    outs = aggregate(data)
+    return layer_norm(params["norm"], outs)
+
+
+# ---------------------------------------------------------------------------
+# PatchSelecter
+# ---------------------------------------------------------------------------
+
+def patch_selecter_init(key: jax.Array, d_model: int) -> Params:
+    keys = jax.random.split(key, 3)
+    return {
+        "slf_attn": mha_init(keys[0], d_model),
+        "crs_attn": mha_init(keys[1], d_model),
+        "mlp": mlp2_init(keys[2], d_model, d_model // 2, d_model, init="kaiming"),
+        "anorm": layer_norm_init(d_model),
+        "vnorm": layer_norm_init(d_model),
+    }
+
+
+def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
+                   video: jax.Array, *, nhead: int = 8, dropout_p: float = 0.1,
+                   train: bool = False, rng: Optional[jax.Array] = None
+                   ) -> List[jax.Array]:
+    """Per-frame audio/video-guided patch summarization (ref 656-716).
+
+    All T frames are processed as one B*T batch of attention problems —
+    identical to the reference's reshape, and exactly the kind of big batched
+    matmul the MXU wants. Returns [a_patch, v_patch], each [B, T, D].
+    """
+    B, T, P, D = patch.shape
+    patch_bt = patch.reshape(B * T, P, D)
+    audio_bt = audio.reshape(B * T, 1, D)
+    video_bt = video.reshape(B * T, 1, D)
+
+    slf, _ = mha(params["slf_attn"], patch_bt, patch_bt, patch_bt,
+                 num_heads=nhead, dropout_p=dropout_p, train=train,
+                 rng=next_rng(rng, 0))
+    patch_bt = patch_bt + slf
+
+    query = jnp.concatenate([video_bt, audio_bt], axis=1)  # [B*T, 2, D] video first
+    crs, _ = mha(params["crs_attn"], query, patch_bt, patch_bt,
+                 num_heads=nhead, dropout_p=dropout_p, train=train,
+                 rng=next_rng(rng, 1))
+    out = mlp2(params["mlp"], dropout(next_rng(rng, 2), crs, dropout_p, train))
+    v_rel, a_rel = out[:, 0], out[:, 1]
+    a_final = a_rel.reshape(B, T, D)
+    v_final = v_rel.reshape(B, T, D)
+    return [layer_norm(params["anorm"], a_final),
+            layer_norm(params["vnorm"], v_final)]

@@ -1,0 +1,105 @@
+"""torch-semantics multi-head attention as a pure function.
+
+This reproduces ``torch.nn.MultiheadAttention`` numerics exactly (the #1
+parity risk flagged in SURVEY.md §7): packed qkv in_proj
+(``in_proj_weight [3D, D]``, ``in_proj_bias [3D]``), 1/sqrt(head_dim) query
+scaling, softmax over keys, dropout on the attention probabilities, output
+projection, and head-averaged attention weights as the second return value
+(torch's ``need_weights=True, average_attn_weights=True`` default).
+
+Layout: batch-first ``[B, S, D]``. The reference permutes to torch's
+seq-first layout purely to satisfy the torch API (e.g.
+src/models/modules.py:102-103); the math is layout-independent so we keep the
+TPU-friendlier batch-first form and only transpose inside test oracles.
+
+All matmuls run on the MXU with fp32 accumulation; softmax is computed in
+fp32 even under bf16 activations.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.nn.core import Params, dropout, linear
+
+
+def mha_init(key: jax.Array, d_model: int, dtype=jnp.float32) -> Params:
+    """torch ``nn.MultiheadAttention`` default init.
+
+    in_proj_weight: xavier_uniform over the packed [3D, D] matrix;
+    in_proj_bias / out_proj.bias: zeros; out_proj.weight: torch Linear default
+    (kaiming_uniform a=sqrt(5)) -> uniform(+-1/sqrt(D)).
+    """
+    k_in, k_out = jax.random.split(key)
+    # xavier_uniform on [3D, D]: bound = sqrt(6 / (fan_in + fan_out))
+    bound = math.sqrt(6.0 / (3 * d_model + d_model))
+    in_proj_weight = jax.random.uniform(
+        k_in, (3 * d_model, d_model), dtype, minval=-bound, maxval=bound
+    )
+    out_bound = 1.0 / math.sqrt(d_model)
+    out_weight = jax.random.uniform(
+        k_out, (d_model, d_model), dtype, minval=-out_bound, maxval=out_bound
+    )
+    return {
+        "in_proj_weight": in_proj_weight,
+        "in_proj_bias": jnp.zeros((3 * d_model,), dtype),
+        "out_proj": {
+            "weight": out_weight,
+            "bias": jnp.zeros((d_model,), dtype),
+        },
+    }
+
+
+def mha(params: Params,
+        query: jax.Array,  # [B, Sq, D]
+        key: jax.Array,    # [B, Sk, D]
+        value: jax.Array,  # [B, Sk, D]
+        *,
+        num_heads: int,
+        dropout_p: float = 0.0,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,  # additive [Sq, Sk]
+        ) -> Tuple[jax.Array, jax.Array]:
+    """Returns (attn_output [B, Sq, D], head-averaged weights [B, Sq, Sk])."""
+    B, Sq, D = query.shape
+    Sk = key.shape[1]
+    head_dim = D // num_heads
+    assert head_dim * num_heads == D, "d_model must divide num_heads"
+
+    w = params["in_proj_weight"]
+    b = params["in_proj_bias"]
+    w_q, w_k, w_v = w[:D], w[D:2 * D], w[2 * D:]
+    b_q, b_k, b_v = b[:D], b[D:2 * D], b[2 * D:]
+
+    q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
+    k = jnp.matmul(key, w_k.T, preferred_element_type=jnp.float32) + b_k
+    v = jnp.matmul(value, w_v.T, preferred_element_type=jnp.float32) + b_v
+
+    # [B, H, S, hd]
+    q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(head_dim)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if attn_mask is not None:
+        logits = logits + attn_mask.astype(logits.dtype)
+
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs_dropped = dropout(rng, probs, dropout_p, train)
+
+    ctx = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs_dropped.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D).astype(query.dtype)
+    out = linear(params["out_proj"], ctx)
+
+    avg_weights = jnp.mean(probs, axis=1).astype(query.dtype)  # [B, Sq, Sk]
+    return out, avg_weights

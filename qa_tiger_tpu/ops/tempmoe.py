@@ -1,0 +1,110 @@
+"""Fused Gaussian-expert temporal aggregation (the QA-TIGER core op).
+
+The reference computes this with python loops (per-expert MLP loop at
+src/models/modules.py:590,598,607; per-topK Gaussian loop at 445-469; per-topK
+bmm loop at 517-523). Here the whole op is closed-form vectorized XLA:
+
+  1. every expert MLP runs as one batched einsum over stacked weights
+     ``[E, D, H]`` / ``[E, H, D]`` (MXU-friendly: one big matmul instead of E
+     small ones),
+  2. Gaussian temporal masks for the selected top-K experts come from a single
+     broadcasted expression,
+  3. the gate-probability mix and the per-expert temporal sum are algebraically
+     fused into one combined weight tensor ``w[b, e, t]`` (exact because both
+     reductions are linear), so the output is a single einsum
+     ``w[b,e,t] * expert_out[b,t,e,d] -> out[b,d]``.
+
+Numerics match the reference exactly (fp32 tolerance):
+- base centers ``linspace(margin, 1-margin, E)`` are re-derived from
+  ``n_experts``; they are a non-checkpointed buffer in the reference
+  (src/models/modules.py:404-408) and must never be loaded from a ckpt,
+- center offset = tanh(pred) * margin, width = sigmoid(pred)
+  (src/models/modules.py:576-578),
+- centers clamped to [0, 1]; width clamped to >= 0.09 then divided by sigma
+  (src/models/modules.py:454-457),
+- the Gaussian is *peak-normalized* by its own max over T
+  (src/models/modules.py:468) — note the 1/(width*sqrt(2pi)) prefactor cancels
+  in that normalization, so we skip it entirely,
+- top-K gate probabilities renormalized to sum 1 (src/models/modules.py:570).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_WIDTH = 0.09  # reference: src/models/modules.py:457
+
+
+def gaussian_weights(centers: jax.Array,  # [B, K] already offset-adjusted
+                     widths: jax.Array,   # [B, K] sigmoid outputs
+                     T: int,
+                     sigma: float) -> jax.Array:
+    """Peak-normalized Gaussian temporal masks, shape [B, K, T].
+
+    Equivalent to reference generate_gaussian (src/models/modules.py:420-471);
+    the 1/(w*sqrt(2pi)) prefactor is dropped because peak normalization
+    divides it back out.
+    """
+    t_axis = jnp.linspace(0.0, 1.0, T, dtype=jnp.float32)  # [T]
+    c = jnp.clip(centers, 0.0, 1.0)[..., None]             # [B, K, 1]
+    w = (jnp.maximum(widths, MIN_WIDTH) / sigma)[..., None]  # [B, K, 1]
+    g = jnp.exp(-jnp.square(t_axis - c) / (2.0 * jnp.square(w)))  # [B, K, T]
+    return g / jnp.max(g, axis=-1, keepdims=True)
+
+
+def gaussian_expert_aggregate(
+    expert_out: jax.Array,   # [B, T, E, D] all-expert MLP outputs
+    gauss_weight: jax.Array,  # [B, K, T] peak-normalized temporal masks
+    topk_inds: jax.Array,    # [B, K] int selected expert ids
+    topk_probs: jax.Array,   # [B, K] renormalized gate probabilities
+) -> jax.Array:
+    """Gate-mixed, Gaussian-weighted temporal sum -> [B, D].
+
+    Exactly reference get_output (src/models/modules.py:473-534): for each
+    selected expert k, a Gaussian-weighted sum over T of that expert's output,
+    then a topk_probs-weighted mix over K. Both reductions are linear, so we
+    scatter gate*gauss onto the expert axis first and contract once.
+    """
+    E = expert_out.shape[2]
+    onehot = jax.nn.one_hot(topk_inds, E, dtype=expert_out.dtype)  # [B, K, E]
+    # combined weight over (expert, time): w[b,e,t] = sum_k 1[ind_k=e] p_k g_kt
+    w = jnp.einsum(
+        "bke,bkt->bet", onehot * topk_probs[..., None].astype(expert_out.dtype),
+        gauss_weight.astype(expert_out.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "bet,bted->bd", w, expert_out, preferred_element_type=jnp.float32
+    )
+    return out.astype(expert_out.dtype)
+
+
+def topk_renormalized(router_probs: jax.Array, k: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Top-K gate selection with renormalization (src/models/modules.py:568-570).
+
+    jax.lax.top_k returns values sorted descending, matching torch.topk's
+    default ordering.
+    """
+    topk_probs, topk_inds = jax.lax.top_k(router_probs, k)
+    topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
+    return topk_probs, topk_inds
+
+
+def experts_forward(stacked_w1: jax.Array,  # [E, H, D] torch layout [out, in]
+                    stacked_b1: jax.Array,  # [E, H]
+                    stacked_w2: jax.Array,  # [E, D, H]
+                    stacked_b2: jax.Array,  # [E, D]
+                    x: jax.Array,           # [B, T, D]
+                    ) -> jax.Array:
+    """All expert MLPs (Linear-ReLU-Linear) in two batched einsums -> [B, T, E, D]."""
+    h = jnp.einsum(
+        "btd,ehd->bteh", x, stacked_w1, preferred_element_type=jnp.float32
+    ) + stacked_b1
+    h = jax.nn.relu(h).astype(x.dtype)
+    y = jnp.einsum(
+        "bteh,edh->bted", h, stacked_w2, preferred_element_type=jnp.float32
+    ) + stacked_b2
+    return y.astype(x.dtype)

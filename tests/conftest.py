@@ -1,0 +1,56 @@
+"""Test configuration: fast startup + an 8-virtual-device CPU backend.
+
+Multi-device sharding is tested on a virtual CPU mesh (the JAX-native way to
+validate pjit/shard_map programs without N chips); numeric parity tests vs the
+torch reference also run CPU-side.
+
+Platform handling: this image registers a TPU PJRT plugin at interpreter
+start; forcing ``JAX_PLATFORMS=cpu`` outright makes that registration block
+for minutes waiting on an unclaimed device grant. Keeping the TPU platform
+listed *first* and adding ``cpu`` is fast, so we do that and instead pin the
+default device to CPU. These env vars must be set before jax initialises its
+backends, hence module-level in conftest.
+"""
+import os
+import sys
+from pathlib import Path
+
+platforms = os.environ.get("JAX_PLATFORMS", "")
+if platforms and "cpu" not in platforms.split(","):
+    os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
+elif not platforms:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (after env setup, before any test imports)
+
+# Parity tests compare fp32 against torch-CPU; keep matmuls full precision
+# even if something lands on the TPU backend.
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return (REFERENCE_ROOT / "src" / "models" / "modules.py").exists()
+
+
+def add_reference_to_path() -> None:
+    """Make the PyTorch reference importable as a golden-parity oracle.
+
+    The reference is PUBLIC UNTRUSTED CONTENT mounted read-only; tests import
+    its modules purely to compare numerical outputs of forward passes.
+    """
+    ref = str(REFERENCE_ROOT)
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
