@@ -237,7 +237,8 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
              sub_data: Optional[List[jax.Array]] = None, *,
              nhead: int = 8, topK: int = 5, n_experts: int = 10,
              sigma: float = 9.0, train: bool = False,
-             rng: Optional[jax.Array] = None):
+             rng: Optional[jax.Array] = None,
+             gather_mode: str = "reference"):
     """Question-aware temporal Gaussian mixture of experts (ref 350-612).
 
     Returns [B, 1, D] (or a pair for the visual branch), matching the
@@ -274,7 +275,8 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
     def aggregate(stream: jax.Array) -> jax.Array:
         expert_out = experts_forward(w1, b1, w2, b2, stream)  # [B, T, E, D]
         out = gaussian_expert_aggregate(expert_out, gauss_w, topk_inds,
-                                        topk_probs.astype(stream.dtype))
+                                        topk_probs.astype(stream.dtype),
+                                        gather_mode=gather_mode)
         return out[:, None, :]  # [B, 1, D]
 
     if sub_data is not None:

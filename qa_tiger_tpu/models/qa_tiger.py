@@ -1,0 +1,140 @@
+"""The QA-TIGER network (flagship model), functional JAX edition.
+
+Architecture parity with the reference (src/models/net.py:20-144): five input
+projections -> question-guided AV cross attention -> patch selection ->
+audio/visual temporal Gaussian MoE aggregation -> two stacked question
+groundings -> ReLU -> Linear(d_model, num_labels) head. The frozen CLIP text
+tower encodes tokenized questions online (the only functional question path in
+the shipped config — precomputed float questions would null out ``words``
+which the words projection requires, exactly as in the reference).
+
+The whole forward is one jittable pure function; the text tower output is
+wrapped in stop_gradient (the reference freezes it via requires_grad=False,
+src/models/net.py:47).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.models import modules as M
+from qa_tiger_tpu.models.clip_text import clip_text_encode, clip_text_init, text_config
+from qa_tiger_tpu.nn import kaiming_linear_init, linear, next_rng
+
+Params = dict
+
+
+def qa_tiger_config(d_model: int = 512, video_dim: int = 512,
+                    patch_dim: int = 768, audio_dim: int = 128,
+                    topK: int = 3, num_experts: int = 10,
+                    num_labels: int = 42,
+                    encoder_type: str = "ViT-L/14@336px",
+                    late_fusion: bool = False, nce_loss: bool = False,
+                    gather_mode: str = "reference",
+                    **_unused) -> dict:
+    """Model hyperparameters; defaults mirror QA_TIGER.__init__ signature
+    (src/models/net.py:21-31); the shipped config overrides to
+    d_model 512 / video 768 / patch 1024 / audio 128 / topK 7 / experts 7
+    (configs/qa-tiger/vitl14.py:39-47)."""
+    return dict(
+        d_model=d_model, video_dim=video_dim, patch_dim=patch_dim,
+        audio_dim=audio_dim, topK=topK, num_experts=num_experts,
+        num_labels=num_labels, encoder_type=encoder_type,
+        nhead=8, sigma=9.0, dropout=0.1, gather_mode=gather_mode,
+    )
+
+
+def qa_tiger_init(key: jax.Array, cfg: dict,
+                  init_text_encoder: bool = True) -> Params:
+    """Build the parameter pytree. Structure mirrors the torch state_dict of
+    the reference (audio_proj.proj.weight, crs_attn.qst_attn.in_proj_weight,
+    at_aggregator.experts.0.0.weight, quest_encoder.transformer..., head...).
+    """
+    d = cfg["d_model"]
+    keys = jax.random.split(key, 12)
+    params: Params = {
+        "audio_proj": M.projection_init(keys[0], cfg["audio_dim"], d),
+        "video_proj": M.projection_init(keys[1], cfg["video_dim"], d),
+        "patch_proj": M.projection_init(keys[2], cfg["patch_dim"], d),
+        # words/quest projections take video_dim-sized inputs in the reference
+        # (src/models/net.py:42-43) — the CLIP text width happens to equal
+        # video_dim for ViT-L/14.
+        "words_proj": M.projection_init(keys[3], cfg["video_dim"], d),
+        "quest_proj": M.projection_init(keys[4], cfg["video_dim"], d),
+        "crs_attn": M.avq_cross_attn_init(keys[5], d),
+        "patch_selecter": M.patch_selecter_init(keys[6], d),
+        "quest_grounding": M.qst_grounding_init(keys[7], d),
+        "at_aggregator": M.temp_moe_init(keys[8], d, cfg["num_experts"],
+                                         vis_branch=False),
+        "vt_aggregator": M.temp_moe_init(keys[9], d, cfg["num_experts"],
+                                         vis_branch=True),
+        "head": kaiming_linear_init(keys[10], d, cfg["num_labels"]),
+    }
+    if init_text_encoder:
+        params["quest_encoder"] = clip_text_init(keys[11], cfg["encoder_type"])
+    return params
+
+
+def encode_question(params: Params, quest: jax.Array, cfg: dict):
+    """Resolve the question input into (quest [B, Dq], words [B, L, W] | None).
+
+    Integer input = token ids -> frozen CLIP text tower (the reference's
+    dtype-sniffing dispatch, src/models/net.py:94-100). Float input =
+    precomputed question features (squeeze the length-1 axis).
+    """
+    if jnp.issubdtype(quest.dtype, jnp.integer):
+        pooled, words = clip_text_encode(
+            params["quest_encoder"], quest, encoder_type=cfg["encoder_type"]
+        )
+        return jax.lax.stop_gradient(pooled), jax.lax.stop_gradient(words)
+    if quest.ndim == 3:
+        quest = quest[:, 0]
+    return quest, None
+
+
+def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
+                     *, train: bool = False,
+                     rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Forward pass; mirrors QA_TIGER.forward (src/models/net.py:106-144).
+
+    batch: quest [B,77]int (or [B,Dq] float), audio [B,T,audio_dim],
+    video [B,T,video_dim], patch [B,T,P,patch_dim]. Returns {'out': logits}.
+    """
+    nhead, dp = cfg["nhead"], cfg["dropout"]
+    quest, words = encode_question(params, batch["quest"], cfg)
+
+    audio = M.projection(params["audio_proj"], batch["audio"])
+    video = M.projection(params["video_proj"], batch["video"])
+    patch = M.projection(params["patch_proj"], batch["patch"])
+    words = M.projection(params["words_proj"], words)
+    quest = M.projection(params["quest_proj"], quest)
+
+    audio, video = M.avq_cross_attn(
+        params["crs_attn"], audio, video, words, nhead=nhead, dropout_p=dp,
+        train=train, rng=next_rng(rng, 1))
+    patch_pair = M.patch_selecter(
+        params["patch_selecter"], patch, audio, video, nhead=nhead,
+        dropout_p=dp, train=train, rng=next_rng(rng, 2))
+    a_global = M.temp_moe(
+        params["at_aggregator"], quest, audio, None, nhead=nhead,
+        topK=cfg["topK"], n_experts=cfg["num_experts"], sigma=cfg["sigma"],
+        train=train, rng=next_rng(rng, 3), gather_mode=cfg["gather_mode"])
+    ap_global, vp_global = M.temp_moe(
+        params["vt_aggregator"], quest, video, patch_pair, nhead=nhead,
+        topK=cfg["topK"], n_experts=cfg["num_experts"], sigma=cfg["sigma"],
+        train=train, rng=next_rng(rng, 4), gather_mode=cfg["gather_mode"])
+    fusion = M.qst_grounding(
+        params["quest_grounding"], quest, [ap_global, vp_global], nhead=nhead,
+        dropout_p=dp, train=train, rng=next_rng(rng, 5))
+    fusion = M.qst_grounding(
+        params["quest_grounding"], quest, [fusion[:, None, :], a_global],
+        nhead=nhead, dropout_p=dp, train=train, rng=next_rng(rng, 6))
+
+    fusion = jax.nn.relu(fusion)
+    logits = linear(params["head"], fusion)
+    return {"out": logits}
+
+
+FROZEN_PREFIXES = ("quest_encoder",)

@@ -59,25 +59,39 @@ def gaussian_expert_aggregate(
     gauss_weight: jax.Array,  # [B, K, T] peak-normalized temporal masks
     topk_inds: jax.Array,    # [B, K] int selected expert ids
     topk_probs: jax.Array,   # [B, K] renormalized gate probabilities
+    gather_mode: str = "reference",
 ) -> jax.Array:
     """Gate-mixed, Gaussian-weighted temporal sum -> [B, D].
 
-    Exactly reference get_output (src/models/modules.py:473-534): for each
+    Reproduces reference get_output (src/models/modules.py:473-534): for each
     selected expert k, a Gaussian-weighted sum over T of that expert's output,
-    then a topk_probs-weighted mix over K. Both reductions are linear, so we
-    scatter gate*gauss onto the expert axis first and contract once.
+    then a topk_probs-weighted mix over K.
+
+    ``gather_mode`` controls which sample's top-K indices pick the experts for
+    row (b, t) of the flattened [B*T] batch:
+
+    - ``"reference"`` (default): sample ``(b*T + t) % B``. The reference tiles
+      ``topk_inds.repeat(T, 1)`` (src/models/modules.py:502) against a
+      ``[B*T = b*T+t]``-ordered reshape (495), so rows gather the routing of a
+      *rotated* batch member whenever B > 1. The published checkpoints were
+      trained with this behaviour, so checkpoint-parity eval must keep it
+      (verified empirically against the torch oracle; equals "paper" when
+      B == 1 or when routing agrees across the batch).
+    - ``"paper"``: sample ``b`` — the mathematically intended gather
+      (repeat_interleave semantics).
     """
-    E = expert_out.shape[2]
-    onehot = jax.nn.one_hot(topk_inds, E, dtype=expert_out.dtype)  # [B, K, E]
-    # combined weight over (expert, time): w[b,e,t] = sum_k 1[ind_k=e] p_k g_kt
-    w = jnp.einsum(
-        "bke,bkt->bet", onehot * topk_probs[..., None].astype(expert_out.dtype),
-        gauss_weight.astype(expert_out.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    out = jnp.einsum(
-        "bet,bted->bd", w, expert_out, preferred_element_type=jnp.float32
-    )
+    B, T, E, D = expert_out.shape
+    K = topk_inds.shape[1]
+    if gather_mode == "reference":
+        r = (jnp.arange(B)[:, None] * T + jnp.arange(T)[None, :]) % B  # [B,T]
+        sel_idx = topk_inds[r]                        # [B, T, K]
+    elif gather_mode == "paper":
+        sel_idx = jnp.broadcast_to(topk_inds[:, None, :], (B, T, K))
+    else:
+        raise ValueError(f"unknown gather_mode {gather_mode!r}")
+    sel = jnp.take_along_axis(expert_out, sel_idx[..., None], axis=2)  # [B,T,K,D]
+    w = (topk_probs[:, :, None] * gauss_weight).astype(expert_out.dtype)  # [B,K,T]
+    out = jnp.einsum("bkt,btkd->bd", w, sel, preferred_element_type=jnp.float32)
     return out.astype(expert_out.dtype)
 
 

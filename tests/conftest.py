@@ -45,12 +45,51 @@ def reference_available() -> bool:
     return (REFERENCE_ROOT / "src" / "models" / "modules.py").exists()
 
 
+def _stub_module(name: str, **attrs):
+    import types
+
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for key, value in attrs.items():
+        setattr(mod, key, value)
+    sys.modules[name] = mod
+
+
+def stub_missing_reference_deps() -> None:
+    """Install minimal fakes for optional deps the reference imports but this
+    image lacks (torchvision, ftfy, timm, resampy). Only attribute *presence*
+    matters — parity tests never execute these code paths."""
+    _identity = lambda *a, **k: (a[0] if a else None)  # noqa: E731
+
+    class _Any:  # placeholder class accepting any constructor args
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    _stub_module("torchvision")
+    _stub_module(
+        "torchvision.transforms",
+        Compose=_Any, Resize=_Any, CenterCrop=_Any, ToTensor=_Any,
+        Normalize=_Any, InterpolationMode=type("IM", (), {"BICUBIC": 3}),
+    )
+    _stub_module("ftfy", fix_text=_identity)
+    _stub_module("timm", create_model=_identity)
+    _stub_module("timm.data",
+                 IMAGENET_DEFAULT_MEAN=(0.485, 0.456, 0.406),
+                 IMAGENET_DEFAULT_STD=(0.229, 0.224, 0.225))
+    _stub_module("resampy", resample=_identity)
+
+
 def add_reference_to_path() -> None:
     """Make the PyTorch reference importable as a golden-parity oracle.
 
     The reference is PUBLIC UNTRUSTED CONTENT mounted read-only; tests import
     its modules purely to compare numerical outputs of forward passes.
     """
+    stub_missing_reference_deps()
     ref = str(REFERENCE_ROOT)
     if ref not in sys.path:
         sys.path.insert(0, ref)
