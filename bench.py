@@ -1,0 +1,158 @@
+"""Benchmark: QA-TIGER eval throughput (QA pairs/sec/chip) on the local
+accelerator vs the PyTorch-CPU reference baseline.
+
+Measures the full shipped-config inference path — CLIP-L/14 frozen text tower
+on tokenized questions + projections + cross-attention + patch selection +
+Gaussian-expert aggregation + classifier — on synthetic inputs with the real
+shapes (T=60 frames, P=14 ToMe tokens, 77-token questions). Throughput does
+not depend on weight values, so random weights give the true hardware number
+without the (unavailable-offline) released checkpoint.
+
+Baseline: the same network from the reference implementation on torch-CPU
+(the PR1 CPU-runnable config from BASELINE.md), measured live when the
+reference tree is importable; otherwise a recorded constant from this machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+BATCH = 128
+T, P = 60, 14
+WARMUP_ITERS = 3
+BENCH_ITERS = 20
+TORCH_BATCH = 32
+TORCH_ITERS = 2
+# torch-CPU qa-pairs/sec on this image's single-core host, measured via the
+# live path below; used only if the reference tree is unavailable.
+FALLBACK_TORCH_QPS = 6.0
+
+
+def _batch(rng, b):
+    return {
+        "quest": rng.integers(1, 49406, (b, 77)).astype(np.int64),
+        "audio": rng.standard_normal((b, T, 128)).astype(np.float32),
+        "video": rng.standard_normal((b, T, 768)).astype(np.float32),
+        "patch": rng.standard_normal((b, T, P, 1024)).astype(np.float32),
+    }
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from qa_tiger_tpu.models.qa_tiger import (
+        qa_tiger_config,
+        qa_tiger_forward,
+        qa_tiger_init,
+    )
+
+    cfg = qa_tiger_config(
+        d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
+        topK=7, num_experts=7, num_labels=42, encoder_type="ViT-L/14@336px")
+    params = qa_tiger_init(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _batch(np.random.default_rng(0), BATCH).items()}
+
+    fwd = jax.jit(lambda p, b: qa_tiger_forward(p, b, cfg, train=False)["out"])
+    # np.asarray forces full host materialization — on remote/experimental
+    # backends block_until_ready can return before execution finishes, which
+    # would inflate the number by orders of magnitude.
+    np.asarray(fwd(params, batch))
+    for _ in range(WARMUP_ITERS):
+        np.asarray(fwd(params, batch))
+    start = time.perf_counter()
+    for _ in range(BENCH_ITERS):
+        out = fwd(params, batch)
+    np.asarray(out)
+    elapsed = time.perf_counter() - start
+    return BATCH * BENCH_ITERS / elapsed
+
+
+def bench_torch_reference() -> float | None:
+    """Reference QA_TIGER on torch CPU with a real-size random text tower."""
+    try:
+        import torch
+
+        sys.path.insert(0, str(ROOT / "tests"))
+        from conftest import add_reference_to_path, reference_available
+
+        if not reference_available():
+            return None
+        add_reference_to_path()
+        from src.models import net as ref_net
+        from src.models.base import clip_base as ref_clip
+
+        class Tower(torch.nn.Module):
+            def __init__(self, width=768, heads=12, layers=12, embed=768,
+                         vocab=49408, ctx=77):
+                super().__init__()
+                mask = torch.full((ctx, ctx), float("-inf")).triu_(1)
+                self.token_embedding = torch.nn.Embedding(vocab, width)
+                self.positional_embedding = torch.nn.Parameter(
+                    torch.randn(ctx, width) * 0.01)
+                self.transformer = ref_clip.Transformer(
+                    width, layers, heads, q_aware_N=-1, attn_mask=mask)
+                self.ln_final = torch.nn.LayerNorm(width)
+                self.text_projection = torch.nn.Parameter(
+                    torch.randn(width, embed) * width ** -0.5)
+
+            def forward(self, text):
+                x = self.token_embedding(text)
+                x = x + self.positional_embedding[: x.shape[1]]
+                x = self.transformer(x.permute(1, 0, 2)).permute(1, 0, 2)
+                x = self.ln_final(x)
+                pooled = x[torch.arange(x.shape[0]),
+                           torch.argmax(text, dim=-1)] @ self.text_projection
+                return pooled, x
+
+            def freeze(self):
+                for p in self.parameters():
+                    p.requires_grad = False
+
+        orig = ref_net.CLIP_TEncoder
+        ref_net.CLIP_TEncoder = lambda _t: Tower()
+        try:
+            model = ref_net.QA_TIGER(
+                d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
+                topK=7, num_experts=7, encoder_type="unused").eval()
+        finally:
+            ref_net.CLIP_TEncoder = orig
+
+        b = _batch(np.random.default_rng(1), TORCH_BATCH)
+        tb = {k: torch.tensor(v) for k, v in b.items()}
+        with torch.no_grad():
+            model(tb)  # warmup
+            start = time.perf_counter()
+            for _ in range(TORCH_ITERS):
+                model(tb)
+            elapsed = time.perf_counter() - start
+        return TORCH_BATCH * TORCH_ITERS / elapsed
+    except Exception as exc:  # pragma: no cover
+        print(f"# torch baseline failed: {exc}", file=sys.stderr)
+        return None
+
+
+def main():
+    jax_qps = bench_jax()
+    torch_qps = bench_torch_reference()
+    if torch_qps is None:
+        torch_qps = FALLBACK_TORCH_QPS
+    print(json.dumps({
+        "metric": "qa_pairs_per_sec_per_chip",
+        "value": round(jax_qps, 2),
+        "unit": "qa/s",
+        "vs_baseline": round(jax_qps / torch_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

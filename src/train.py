@@ -1,0 +1,157 @@
+"""Training entry point — CLI surface parity with the reference
+(src/train.py): ``python src/train.py --config CONFIG --mode train``.
+
+Orchestration mirrors reference main() (src/train.py:26-114): config/setup ->
+loaders -> model -> optimizer -> epoch loop (train, evaluate, LR step,
+save-best) -> final test on the best checkpoint (+ optional multi-annot
+loop), re-expressed on the JAX runner.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+sys.path.append(ROOT.as_posix())
+
+import jax  # noqa: E402
+
+from qa_tiger_tpu.data import AVQADataset, BatchLoader  # noqa: E402
+from qa_tiger_tpu.models import build_model  # noqa: E402
+from qa_tiger_tpu.parallel import make_mesh  # noqa: E402
+from qa_tiger_tpu.training import (  # noqa: E402
+    PlateauScheduler,
+    load_checkpoint,
+    make_lr_schedule,
+    save_checkpoint,
+)
+from qa_tiger_tpu.training.loop import AVQARunner  # noqa: E402
+from qa_tiger_tpu.utils import (  # noqa: E402
+    arg_parse,
+    build_config,
+    calculate_parameters,
+    get_logger,
+    logging_config,
+    seed_everything,
+    set_logger,
+)
+
+
+def make_loaders(cfg, mesh):
+    n_shards = jax.process_count()
+    shard = jax.process_index()
+    train_ds = AVQADataset(cfg, mode=cfg.mode, repo_root=ROOT)
+    val_ds = AVQADataset(cfg, mode="valid", repo_root=ROOT)
+    per_host_bs = cfg.data.batch_size // n_shards
+    train_loader = BatchLoader(
+        train_ds, per_host_bs, shuffle=(cfg.mode == "train"), seed=cfg.seed,
+        shard_id=shard, num_shards=n_shards)
+    val_loader = BatchLoader(
+        val_ds, cfg.data.eval_batch_size // n_shards, shuffle=False,
+        shard_id=shard, num_shards=n_shards)
+    return {cfg.mode: train_loader, "val": val_loader}
+
+
+def main():
+    args = arg_parse()
+    if args.distributed:
+        jax.distributed.initialize()
+    cfg = build_config(args)
+    writer, timestamp = set_logger(cfg)
+    logger = get_logger()
+    save_dir = Path(cfg.output_dir) / timestamp
+
+    logging_config(cfg)
+    seed_everything(cfg.seed)
+    mesh = make_mesh()
+
+    loaders = make_loaders(cfg, mesh)
+    model_cfg, init_fn, forward_fn, frozen = build_model(
+        cfg.hyper_params.model_type, cfg.hyper_params.model,
+        num_labels=cfg.get("num_labels", 42))
+    runner = AVQARunner(cfg, model_cfg, init_fn, forward_fn, frozen,
+                        mesh=mesh, seed=cfg.seed)
+    if cfg.get("weight"):
+        params, missing, unexpected = load_checkpoint(cfg.weight, runner.params)
+        logger.info(f"Missing keys: {missing}")
+        logger.info(f"Unexpected keys: {unexpected}")
+        logger.info(f"=> loaded successfully '{cfg.weight}'")
+        runner.load_params(params)
+    calculate_parameters(runner.params, frozen_prefixes=frozen)
+
+    optim_cfg = cfg.hyper_params.optim
+    sched_cfg = cfg.hyper_params.sched
+    plateau = None
+    if sched_cfg.name == "ReduceLROnPlateau":
+        plateau = PlateauScheduler(optim_cfg.lr, mode=sched_cfg.mode,
+                                   factor=sched_cfg.factor,
+                                   patience=sched_cfg.patience)
+        lr_for_epoch = None
+    else:
+        lr_for_epoch = make_lr_schedule(
+            sched_cfg.name, optim_cfg.lr, epochs=cfg.epochs,
+            step_size=sched_cfg.get("step_size", 8),
+            gamma=sched_cfg.get("gamma", 0.1),
+            min_lr=optim_cfg.get("min_lr", 1e-7),
+            warmup_epochs=sched_cfg.get("warmup_epochs", 2))
+
+    best_acc, best_epoch = 0.0, -1
+    current_lr = optim_cfg.lr
+    for epoch in range(1, cfg.epochs + 1):
+        if lr_for_epoch is not None:
+            current_lr = lr_for_epoch(epoch)
+        if writer is not None:
+            writer.add_scalar("train/lr", current_lr, epoch)
+
+        logger.info(f"\n-------------- training epoch {epoch} --------------")
+        runner.train_epoch(epoch, loaders["train"], current_lr, writer)
+
+        logger.info(f"\n-------------- validation epoch {epoch} --------------")
+        acc, loss = runner.evaluate(epoch, loaders["val"], writer)
+
+        if plateau is not None:
+            metric = acc if sched_cfg.mode == "max" else loss
+            current_lr = plateau.step(metric)
+
+        if acc >= best_acc and not cfg.debug:
+            best_acc, best_epoch = acc, epoch
+            logger.info(f"best model saved at epoch {epoch} with acc {best_acc}")
+            if jax.process_index() == 0:
+                save_checkpoint(runner.params, save_dir / "best.npz",
+                                exclude_prefixes=("video_encoder",))
+        logger.info(f"Epoch {epoch} done with {acc:3.2f} and loss {loss:.5f}.")
+        logger.info(f"At epoch{best_epoch} best acc: {best_acc:3.2f}.")
+
+    if not cfg.debug:
+        logger.info(f"\nTesting with Best validation model... {cfg.data.test_annot}")
+        cfg.mode = "test"
+        test_ds = AVQADataset(cfg, mode="test", repo_root=ROOT)
+        test_loader = BatchLoader(
+            test_ds, cfg.data.eval_batch_size // jax.process_count(),
+            shuffle=False, shard_id=jax.process_index(),
+            num_shards=jax.process_count())
+        params, _, _ = load_checkpoint(save_dir / "best.npz", runner.params)
+        runner.load_params(params)
+        runner.test(test_loader)
+        if isinstance(cfg.data.get("test_annots"), (list, tuple)):
+            for test_annot in cfg.data.test_annots:
+                logger.info(f"\nTesting with Best validation model... {test_annot}")
+                cfg.data.test_annot = test_annot
+                ds = AVQADataset(cfg, mode="test", repo_root=ROOT)
+                loader = BatchLoader(
+                    ds, cfg.data.eval_batch_size // jax.process_count(),
+                    shuffle=False, shard_id=jax.process_index(),
+                    num_shards=jax.process_count())
+                runner.test(loader)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        raise
