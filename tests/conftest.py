@@ -69,12 +69,20 @@ def stub_missing_reference_deps() -> None:
         def __call__(self, x):
             return x
 
-    _stub_module("torchvision")
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__path__ = []  # mark as package so submodule imports resolve to stubs
+        sys.modules["torchvision"] = tv
     _stub_module(
         "torchvision.transforms",
         Compose=_Any, Resize=_Any, CenterCrop=_Any, ToTensor=_Any,
         Normalize=_Any, InterpolationMode=type("IM", (), {"BICUBIC": 3}),
     )
+    _stub_module("torchvision.models")
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     _stub_module("ftfy", fix_text=_identity)
     _stub_module("timm", create_model=_identity)
     _stub_module("timm.data",
