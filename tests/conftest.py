@@ -89,6 +89,7 @@ def stub_missing_reference_deps() -> None:
                  IMAGENET_DEFAULT_MEAN=(0.485, 0.456, 0.406),
                  IMAGENET_DEFAULT_STD=(0.229, 0.224, 0.225))
     _stub_module("resampy", resample=_identity)
+    _stub_module("soundfile", read=_identity, write=_identity)
 
 
 def add_reference_to_path() -> None:
