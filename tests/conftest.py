@@ -92,6 +92,20 @@ def stub_missing_reference_deps() -> None:
     _stub_module("soundfile", read=_identity, write=_identity)
 
 
+def load_reference_module(relpath: str, name: str):
+    """Import one reference .py file standalone (bypassing package __init__
+    chains that pull in unavailable deps like real timm)."""
+    import importlib.util
+
+    stub_missing_reference_deps()
+    spec = importlib.util.spec_from_file_location(
+        name, REFERENCE_ROOT / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def add_reference_to_path() -> None:
     """Make the PyTorch reference importable as a golden-parity oracle.
 
