@@ -1,0 +1,169 @@
+"""timm-style Vision Transformer with optional ToMe token merging, JAX.
+
+The patch-feature extractor in the reference is timm's
+``vit_large_patch16_384`` monkey-patched by ToMe (reference:
+scripts/extract_ToMe/extract_tome14.py:97-101 — head removed, ``r=[25]*23``,
+577 -> 14 tokens; the patched attention adds proportional attention
+``attn += size.log()`` and returns ``k.mean(heads)`` as the merge metric,
+src/tome/patch/timm.py:91-107; merging happens between attention and MLP,
+src/tome/patch/timm.py:39-58).
+
+Here ToMe is not a monkey-patch but a first-class forward mode: because r is
+static per layer, every layer's token count is a compile-time constant and
+the whole 24-block, progressively-shrinking network jits into ONE XLA
+program per batch shape — no recompilation, no dynamic shapes.
+
+Parameter tree mirrors timm state_dict names (cls_token, pos_embed,
+patch_embed.proj.{weight,bias} in torch OIHW layout, blocks.N.{norm1, attn.qkv,
+attn.proj, norm2, mlp.fc1, mlp.fc2}, norm) so pretrained timm checkpoints
+convert losslessly via convert/torch_import.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.nn import layer_norm, layer_norm_init, linear
+from qa_tiger_tpu.ops.tome import bipartite_soft_matching, merge_source, merge_wavg, parse_r
+
+Params = dict
+
+VIT_CONFIGS: Dict[str, dict] = {
+    "vit_large_patch16_384": dict(img_size=384, patch_size=16, width=1024,
+                                  depth=24, heads=16, ln_eps=1e-6),
+    "vit_base_patch32_224": dict(img_size=224, patch_size=32, width=768,
+                                 depth=12, heads=12, ln_eps=1e-6),
+}
+
+
+def vit_config(name: str) -> dict:
+    cfg = dict(VIT_CONFIGS[name])
+    cfg["grid"] = cfg["img_size"] // cfg["patch_size"]
+    cfg["tokens"] = cfg["grid"] ** 2 + 1
+    return cfg
+
+
+def _trunc_normal(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape)
+
+
+def vit_init(key: jax.Array, name: str = "vit_large_patch16_384") -> Params:
+    cfg = vit_config(name)
+    w, depth = cfg["width"], cfg["depth"]
+    p = cfg["patch_size"]
+    keys = jax.random.split(key, depth + 4)
+    params: Params = {
+        "cls_token": jnp.zeros((1, 1, w)),
+        "pos_embed": _trunc_normal(keys[0], (1, cfg["tokens"], w)),
+        "patch_embed": {"proj": {
+            "weight": _trunc_normal(keys[1], (w, 3, p, p)),  # torch OIHW
+            "bias": jnp.zeros((w,)),
+        }},
+        "blocks": {},
+        "norm": layer_norm_init(w),
+    }
+    for i in range(depth):
+        kb = jax.random.split(keys[2 + i], 4)
+        params["blocks"][str(i)] = {
+            "norm1": layer_norm_init(w),
+            "attn": {
+                "qkv": {"weight": _trunc_normal(kb[0], (3 * w, w)),
+                        "bias": jnp.zeros((3 * w,))},
+                "proj": {"weight": _trunc_normal(kb[1], (w, w)),
+                         "bias": jnp.zeros((w,))},
+            },
+            "norm2": layer_norm_init(w),
+            "mlp": {
+                "fc1": {"weight": _trunc_normal(kb[2], (4 * w, w)),
+                        "bias": jnp.zeros((4 * w,))},
+                "fc2": {"weight": _trunc_normal(kb[3], (w, 4 * w)),
+                        "bias": jnp.zeros((w,))},
+            },
+        }
+    return params
+
+
+def patch_embed(params: Params, images: jax.Array, patch_size: int
+                ) -> jax.Array:
+    """[B, H, W, 3] -> [B, grid*grid, width] via strided conv."""
+    kernel = jnp.transpose(params["proj"]["weight"], (2, 3, 1, 0))  # HWIO
+    x = jax.lax.conv_general_dilated(
+        images, kernel, window_strides=(patch_size, patch_size),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = x + params["proj"]["bias"]
+    B, gh, gw, w = x.shape
+    return x.reshape(B, gh * gw, w)
+
+
+def _attention(p: Params, x: jax.Array, heads: int,
+               size: Optional[jax.Array], ln_eps: float
+               ) -> Tuple[jax.Array, jax.Array]:
+    """timm attention + ToMe hooks: proportional attention with token sizes,
+    returns (out, metric = k.mean(heads)) (ref src/tome/patch/timm.py:74-107)."""
+    B, N, C = x.shape
+    hd = C // heads
+    qkv = linear(p["qkv"], x).reshape(B, N, 3, heads, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k,
+                        preferred_element_type=jnp.float32)
+    if size is not None:
+        logits = logits + jnp.log(size)[:, None, None, :, 0]
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    out = linear(p["proj"], out)
+    metric = jnp.mean(k, axis=1)  # [B, N, hd]
+    return out, metric
+
+
+def vit_forward(params: Params, images: jax.Array, *,
+                name: str = "vit_large_patch16_384",
+                tome_r: Optional[Sequence[int]] = None,
+                prop_attn: bool = True,
+                trace_source: bool = False):
+    """Forward pass. Returns dict with:
+
+    - 'tokens': [B, T_final, width] final-norm token states (cls first) —
+      with ``tome_r`` this is the merged-token output the extractor saves
+      (minus cls, see ``extract_tome14``'s [60, 14, 1024] layout),
+    - 'cls': [B, width] class token,
+    - 'source': token-provenance matrix when trace_source.
+    """
+    cfg = vit_config(name)
+    heads, ln_eps = cfg["heads"], cfg["ln_eps"]
+    x = patch_embed(params["patch_embed"], images, cfg["patch_size"])
+    cls = jnp.broadcast_to(params["cls_token"],
+                           (x.shape[0], 1, x.shape[-1])).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"]
+
+    rs = parse_r(cfg["depth"], list(tome_r) if tome_r is not None else 0)
+    size = None
+    source = None
+    for i in range(cfg["depth"]):
+        p = params["blocks"][str(i)]
+        attn_size = size if prop_attn else None
+        h = layer_norm(p["norm1"], x, eps=ln_eps)
+        attn_out, metric = _attention(p["attn"], h, heads, attn_size, ln_eps)
+        x = x + attn_out
+        r = rs[i]
+        if r > 0:
+            merge, _ = bipartite_soft_matching(metric, r, class_token=True)
+            if trace_source:
+                source = merge_source(merge, x, source)
+            x, size = merge_wavg(merge, x, size)
+        h = layer_norm(p["norm2"], x, eps=ln_eps)
+        h = linear(p["mlp"]["fc2"], jax.nn.gelu(linear(p["mlp"]["fc1"], h),
+                                                approximate=False))
+        x = x + h
+    x = layer_norm(params["norm"], x, eps=ln_eps)
+    out = {"tokens": x, "cls": x[:, 0]}
+    if trace_source:
+        out["source"] = source
+    return out
