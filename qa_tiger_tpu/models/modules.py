@@ -33,7 +33,9 @@ from qa_tiger_tpu.nn import (
     mlp2_init,
     next_rng,
 )
+from qa_tiger_tpu.ops.pallas.gaussian_moe import fused_gaussian_moe
 from qa_tiger_tpu.ops.tempmoe import (
+    combined_expert_weights,
     experts_forward,
     gaussian_expert_aggregate,
     gaussian_weights,
@@ -238,7 +240,8 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
              nhead: int = 8, topK: int = 5, n_experts: int = 10,
              sigma: float = 9.0, train: bool = False,
              rng: Optional[jax.Array] = None,
-             gather_mode: str = "reference"):
+             gather_mode: str = "reference",
+             use_fused: bool = True):
     """Question-aware temporal Gaussian mixture of experts (ref 350-612).
 
     Returns [B, 1, D] (or a pair for the visual branch), matching the
@@ -272,12 +275,25 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
 
     w1, b1, w2, b2 = _stack_experts(params, n_experts)
 
-    def aggregate(stream: jax.Array) -> jax.Array:
-        expert_out = experts_forward(w1, b1, w2, b2, stream)  # [B, T, E, D]
-        out = gaussian_expert_aggregate(expert_out, gauss_w, topk_inds,
-                                        topk_probs.astype(stream.dtype),
-                                        gather_mode=gather_mode)
-        return out[:, None, :]  # [B, 1, D]
+    if use_fused:
+        # fold gates+Gaussians+gather into one weight tensor and run the
+        # fused Pallas kernel (ops/pallas/gaussian_moe.py)
+        w_bet = combined_expert_weights(
+            gauss_w, topk_inds, topk_probs, n_experts, gather_mode)
+        w1t = jnp.transpose(w1, (0, 2, 1))  # [E, D, H]
+        w2t = jnp.transpose(w2, (0, 2, 1))  # [E, H, D]
+
+        def aggregate(stream: jax.Array) -> jax.Array:
+            out = fused_gaussian_moe(stream, w1t, b1, w2t, b2,
+                                     w_bet.astype(stream.dtype))
+            return out[:, None, :]  # [B, 1, D]
+    else:
+        def aggregate(stream: jax.Array) -> jax.Array:
+            expert_out = experts_forward(w1, b1, w2, b2, stream)  # [B,T,E,D]
+            out = gaussian_expert_aggregate(expert_out, gauss_w, topk_inds,
+                                            topk_probs.astype(stream.dtype),
+                                            gather_mode=gather_mode)
+            return out[:, None, :]  # [B, 1, D]
 
     if sub_data is not None:
         a_outs = aggregate(data + sub_data[0])

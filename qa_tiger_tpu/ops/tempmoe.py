@@ -95,6 +95,34 @@ def gaussian_expert_aggregate(
     return out.astype(expert_out.dtype)
 
 
+def combined_expert_weights(gauss_weight: jax.Array,  # [B, K, T]
+                            topk_inds: jax.Array,     # [B, K]
+                            topk_probs: jax.Array,    # [B, K]
+                            n_experts: int,
+                            gather_mode: str = "reference") -> jax.Array:
+    """Fold gate probs, Gaussian masks, and the expert-gather mode into one
+    dense weight tensor w[b, e, t] such that
+
+        out[b] = sum_{e,t} w[b,e,t] * MLP_e(x[b,t])
+
+    reproduces ``gaussian_expert_aggregate`` exactly (both reductions are
+    linear). This is the input contract of the fused Pallas kernel.
+    """
+    B, K, T = gauss_weight.shape
+    pg = (topk_probs[:, :, None] * gauss_weight).astype(jnp.float32)  # [B,K,T]
+    if gather_mode == "paper":
+        onehot = jax.nn.one_hot(topk_inds, n_experts, dtype=jnp.float32)
+        return jnp.einsum("bke,bkt->bet", onehot, pg,
+                          preferred_element_type=jnp.float32)
+    if gather_mode == "reference":
+        r = (jnp.arange(B)[:, None] * T + jnp.arange(T)[None, :]) % B
+        sel_idx = topk_inds[r]                                  # [B, T, K]
+        onehot = jax.nn.one_hot(sel_idx, n_experts, dtype=jnp.float32)
+        return jnp.einsum("btke,bkt->bet", onehot, pg,
+                          preferred_element_type=jnp.float32)
+    raise ValueError(f"unknown gather_mode {gather_mode!r}")
+
+
 def topk_renormalized(router_probs: jax.Array, k: int
                       ) -> Tuple[jax.Array, jax.Array]:
     """Top-K gate selection with renormalization (src/models/modules.py:568-570).
