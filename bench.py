@@ -26,10 +26,11 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
-BATCH = 128
+BATCH = 256
 T, P = 60, 14
 WARMUP_ITERS = 3
 BENCH_ITERS = 20
+EVAL_DTYPE = "bfloat16"  # the BASELINE bf16 jitted-eval configuration
 TORCH_BATCH = 32
 TORCH_ITERS = 2
 # torch-CPU qa-pairs/sec on this image's single-core host, measured via the
@@ -60,7 +61,15 @@ def bench_jax() -> float:
         d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
         topK=7, num_experts=7, num_labels=42, encoder_type="ViT-L/14@336px")
     params = qa_tiger_init(jax.random.PRNGKey(0), cfg)
-    batch = {k: jnp.asarray(v) for k, v in _batch(np.random.default_rng(0), BATCH).items()}
+    dtype = jnp.dtype(EVAL_DTYPE)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    batch = {
+        k: (jnp.asarray(v).astype(dtype)
+            if np.issubdtype(v.dtype, np.floating) else jnp.asarray(v))
+        for k, v in _batch(np.random.default_rng(0), BATCH).items()
+    }
 
     fwd = jax.jit(lambda p, b: qa_tiger_forward(p, b, cfg, train=False)["out"])
     # np.asarray forces full host materialization — on remote/experimental

@@ -71,6 +71,41 @@ class AVQADataset:
         self.tokenizer = ClipTokenizer() if self.quest_feat is None else None
         self.cache: Dict[str, np.ndarray] = {}
         self.cache_features = bool(cfg.data.get("cache_features", False))
+        # native C++ batch reader (qa_tiger_tpu/data/native): eligible when
+        # features are read whole (frame_sample_rate == 1) and not cached
+        self.use_native = (bool(cfg.data.get("native_loader", True))
+                           and self.sample_rate == 1
+                           and not self.cache_features)
+        self._feature_shapes: Optional[Dict[str, tuple]] = None
+
+    def feature_shapes(self) -> Dict[str, tuple]:
+        """Per-modality item shapes, probed once from the first sample."""
+        if self._feature_shapes is None:
+            name = self.samples[0]["video_id"]
+            shapes = {}
+            for key, base in (("audio", self.audio_feat),
+                              ("video", self.video_feat),
+                              ("patch", self.patch_feat)):
+                if base is not None:
+                    shapes[key] = np.load(base / f"{name}.npy",
+                                          mmap_mode="r").shape
+            self._feature_shapes = shapes
+        return self._feature_shapes
+
+    def load_feature_batch(self, names) -> Dict[str, np.ndarray]:
+        """Batch-read audio/video/patch features for ``names`` via the native
+        loader (falls back to numpy internally)."""
+        from qa_tiger_tpu.data.native_loader import load_npy_batch
+
+        shapes = self.feature_shapes()
+        out = {}
+        for key, base in (("audio", self.audio_feat),
+                          ("video", self.video_feat),
+                          ("patch", self.patch_feat)):
+            if base is not None:
+                paths = [base / f"{n}.npy" for n in names]
+                out[key] = load_npy_batch(paths, shapes[key])
+        return out
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -156,11 +191,46 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
-        items = [self.dataset[int(i)] for i in idxs]
+        ds = self.dataset
+        native = getattr(ds, "use_native", False)
+        if native:
+            # metadata per sample in python; features via one native batched
+            # read per modality straight into the batch buffers
+            from qa_tiger_tpu.data.annotations import qtype_index
+
+            samples = [ds.samples[int(i)] for i in idxs]
+            n_pad = self.batch_size - len(samples)
+            if n_pad:
+                samples.extend([samples[0]] * n_pad)
+            names = [s["video_id"] for s in samples]
+            batch: Dict[str, np.ndarray] = dict(ds.load_feature_batch(names))
+            batch["label"] = np.array(
+                [ds.answer_to_ix[s["anser"]] for s in samples], np.int32)
+            batch["qtype_label"] = np.array(
+                [qtype_index(s["type"]) for s in samples], np.int32)
+            batch["name"] = np.array(names)
+            if ds.quest_feat is not None:
+                quests = [ds._load_npy(ds.quest_feat,
+                                       str(int(s["question_id"])))
+                          for s in samples]
+                batch["quest"] = np.stack(quests).astype(np.float32)
+                if ds.prompt_feat is not None:
+                    prompts = [ds._load_npy(ds.prompt_feat,
+                                            str(int(s["question_id"])))
+                               for s in samples]
+                    batch["prompt"] = np.stack(prompts).astype(np.float32)
+            else:
+                batch["quest"] = ds.tokenizer(
+                    [s["question_content"] for s in samples], truncate=True)
+            batch["valid"] = np.concatenate(
+                [np.ones(len(idxs), bool), np.zeros(n_pad, bool)])
+            return batch
+
+        items = [ds[int(i)] for i in idxs]
         n_pad = self.batch_size - len(items)
         if n_pad:
             items.extend([items[0]] * n_pad)
-        batch: Dict[str, np.ndarray] = {}
+        batch = {}
         for key in items[0]:
             if key == "name":
                 batch[key] = np.array([it[key] for it in items])

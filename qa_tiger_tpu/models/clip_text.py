@@ -129,10 +129,9 @@ def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
 
 def resblock(params: Params, x: jax.Array, *, heads: int,
              mask: Optional[jax.Array]) -> jax.Array:
-    attn_out, _ = mha(params["attn"], layer_norm(params["ln_1"], x),
-                      layer_norm(params["ln_1"], x),
-                      layer_norm(params["ln_1"], x),
-                      num_heads=heads, attn_mask=mask)
+    h = layer_norm(params["ln_1"], x)
+    attn_out, _ = mha(params["attn"], h, h, h, num_heads=heads,
+                      attn_mask=mask)
     x = x + attn_out
     h = layer_norm(params["ln_2"], x)
     h = linear(params["mlp"]["c_fc"], h)

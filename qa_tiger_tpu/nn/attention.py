@@ -72,12 +72,23 @@ def mha(params: Params,
 
     w = params["in_proj_weight"]
     b = params["in_proj_bias"]
-    w_q, w_k, w_v = w[:D], w[D:2 * D], w[2 * D:]
-    b_q, b_k, b_v = b[:D], b[D:2 * D], b[2 * D:]
-
-    q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
-    k = jnp.matmul(key, w_k.T, preferred_element_type=jnp.float32) + b_k
-    v = jnp.matmul(value, w_v.T, preferred_element_type=jnp.float32) + b_v
+    if query is key and key is value:
+        # self-attention: one fused [D, 3D] projection keeps the MXU busy
+        qkv = jnp.matmul(query, w.T, preferred_element_type=jnp.float32) + b
+        q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+    elif key is value:
+        # cross-attention with shared k/v source: fuse the [D, 2D] projection
+        w_q = w[:D]
+        b_q = b[:D]
+        q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
+        kv = jnp.matmul(key, w[D:].T, preferred_element_type=jnp.float32) + b[D:]
+        k, v = kv[..., :D], kv[..., D:]
+    else:
+        w_q, w_k, w_v = w[:D], w[D:2 * D], w[2 * D:]
+        b_q, b_k, b_v = b[:D], b[D:2 * D], b[2 * D:]
+        q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
+        k = jnp.matmul(key, w_k.T, preferred_element_type=jnp.float32) + b_k
+        v = jnp.matmul(value, w_v.T, preferred_element_type=jnp.float32) + b_v
 
     # [B, H, S, hd]
     q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)

@@ -126,6 +126,16 @@ class AVQARunner:
 
     def _eval_step_impl(self, trainable, frozen, batch):
         params = merge_params(trainable, frozen)
+        eval_dtype = self.cfg.hyper_params.get("eval_dtype")
+        if eval_dtype:
+            # bf16 eval: params + float features cast inside the jitted graph
+            dt = jnp.dtype(eval_dtype)
+            cast = lambda a: (a.astype(dt)  # noqa: E731
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            params = jax.tree_util.tree_map(cast, params)
+            batch = {k: cast(v) if k in ("audio", "video", "patch", "quest",
+                                         "prompt") else v
+                     for k, v in batch.items()}
         out = self.forward_fn(params, batch, self.model_cfg, train=False)
         ce = masked_cross_entropy(out["out"], batch["label"], batch["valid"])
         cor, tot, cor9, tot9 = qtype_counters(
