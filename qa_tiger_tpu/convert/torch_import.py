@@ -90,6 +90,22 @@ def load_torch_checkpoint(path: str,
     return state_dict_to_pytree(state_dict, exclude_prefixes, dtype)
 
 
+def save_torch_checkpoint(params: Mapping[str, Any], path: str,
+                          exclude_prefixes: Iterable[str] = ()) -> None:
+    """Export a parameter pytree as a torch ``.pt`` state_dict so checkpoints
+    trained here load back into the PyTorch reference (the reverse direction
+    of ``load_torch_checkpoint``)."""
+    import torch  # local import: only needed for .pt interop
+
+    flat = nested_to_flat(params)
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in flat.items()
+        if not any(k.startswith(p) for p in exclude_prefixes)
+    }
+    torch.save(state_dict, path)
+
+
 def merge_pytrees(base: Dict[str, Any], update: Mapping[str, Any],
                   path: str = "") -> Tuple[Dict[str, Any], list, list]:
     """Overlay ``update`` onto ``base`` (strict=False semantics).
