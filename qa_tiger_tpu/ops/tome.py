@@ -140,6 +140,95 @@ def bipartite_soft_matching(metric: jax.Array, r: int,
     return merge, unmerge
 
 
+def _scatter_mode(dst: jax.Array, idx: jax.Array, src: jax.Array,
+                  mode: str) -> jax.Array:
+    if mode == "sum":
+        return _batched_at(dst, idx).add(src)
+    if mode == "amax":
+        return _batched_at(dst, idx).max(src)
+    if mode == "mean":
+        ones = jnp.ones(src.shape[:-1] + (1,), dst.dtype)
+        counts = _batched_at(jnp.ones(dst.shape[:-1] + (1,), dst.dtype),
+                             idx).add(ones)
+        return _batched_at(dst, idx).add(src) / counts
+    raise ValueError(f"unknown merge mode {mode!r}")
+
+
+def kth_bipartite_soft_matching(metric: jax.Array, k: int
+                                ) -> Tuple[Callable, Callable]:
+    """ToMe with sets (every k-th token, the rest): n tokens -> n // k
+    (ref kth_bipartite_soft_matching, src/tome/merge.py:100-153)."""
+    if k <= 1:
+        identity = lambda x, mode="mean": x  # noqa: E731
+        return identity, identity
+
+    t_rnd = (metric.shape[1] // k) * k
+    r = (t_rnd // k) * (k - 1)
+
+    def split(x):
+        b = x.shape[0]
+        x = x[:, :t_rnd].reshape(b, -1, k, x.shape[-1])
+        return (x[:, :, : k - 1].reshape(b, -1, x.shape[-1]),
+                x[:, :, k - 1])
+
+    metric = metric / jnp.linalg.norm(metric, axis=-1, keepdims=True)
+    a, b = split(metric)
+    scores = jnp.einsum("bic,bjc->bij", a, b,
+                        preferred_element_type=jnp.float32)
+    dst_idx = jnp.argmax(scores, axis=-1)  # [B, r]
+
+    def merge(x: jax.Array, mode: str = "mean") -> jax.Array:
+        src, dst = split(x)
+        return _scatter_mode(dst, dst_idx, src, mode)
+
+    def unmerge(x: jax.Array) -> jax.Array:
+        n, _, c = x.shape
+        src = _take(x, dst_idx).reshape(n, -1, k - 1, c)
+        dst = x.reshape(n, -1, 1, c)
+        return jnp.concatenate([src, dst], axis=-2).reshape(n, -1, c)
+
+    return merge, unmerge
+
+
+def random_bipartite_soft_matching(metric: jax.Array, r: int,
+                                   rng: jax.Array = None
+                                   ) -> Tuple[Callable, Callable]:
+    """ToMe with a random r-token source set (ref 156-207). The random
+    permutation comes from an explicit jax PRNG key (functional RNG instead
+    of torch's global rand)."""
+    if r <= 0:
+        identity = lambda x, mode="mean": x  # noqa: E731
+        return identity, identity
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    B, N, _ = metric.shape
+    rand_idx = jax.vmap(lambda k: jax.random.permutation(k, N))(
+        jax.random.split(rng, B))
+    a_idx, b_idx = rand_idx[:, :r], rand_idx[:, r:]
+
+    def split(x):
+        return _take(x, a_idx), _take(x, b_idx)
+
+    metric = metric / jnp.linalg.norm(metric, axis=-1, keepdims=True)
+    a, b = split(metric)
+    scores = jnp.einsum("bic,bjc->bij", a, b,
+                        preferred_element_type=jnp.float32)
+    dst_idx = jnp.argmax(scores, axis=-1)
+
+    def merge(x: jax.Array, mode: str = "mean") -> jax.Array:
+        src, dst = split(x)
+        return _scatter_mode(dst, dst_idx, src, mode)
+
+    def unmerge(x: jax.Array) -> jax.Array:
+        src = _take(x, dst_idx)
+        out = jnp.zeros((B, N, x.shape[-1]), x.dtype)
+        out = _batched_at(out, a_idx).set(src)
+        out = _batched_at(out, b_idx).set(x)
+        return out
+
+    return merge, unmerge
+
+
 def merge_wavg(merge: Callable, x: jax.Array, size: jax.Array = None
                ) -> Tuple[jax.Array, jax.Array]:
     """Size-weighted average merge (ref src/tome/merge.py:210-225)."""

@@ -4,6 +4,7 @@ from qa_tiger_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_batch,
+    sync_processes,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicated_sharding",
     "param_shardings",
     "shard_batch",
+    "sync_processes",
 ]

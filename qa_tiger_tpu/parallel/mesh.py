@@ -27,6 +27,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def sync_processes(name: str = "barrier") -> None:
+    """Multi-host barrier (the reference's dist.barrier,
+    src/trainutils.py:47-49). No-op on a single process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               model_parallel: int = 1,
               devices=None) -> Mesh:

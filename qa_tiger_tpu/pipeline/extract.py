@@ -158,6 +158,28 @@ def run_clip_frames(args) -> None:
         print(f"{out_file.name}: {feats.shape}")
 
 
+def run_clip_tokens(args) -> None:
+    """Token-level CLIP features: [60, grid*grid, width] patch tokens per
+    video (the reference's ViT-B/32 token-level variant,
+    scripts/extract_clip_feat/extract_token-level_feat.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qa_tiger_tpu.models import clip_image as CI
+
+    params = _load_params(
+        args, default_init=lambda k: CI.clip_vision_init(k, args.encoder))
+    size = CI.vision_config(args.encoder)["input_resolution"]
+    encode = jax.jit(lambda p, x: CI.clip_vision_encode(
+        p, x, name=args.encoder)[1])
+    for frames_dir, out_file in _iter_videos(Path(args.src), Path(args.dst)):
+        paths = select_frame_paths(sorted(frames_dir.glob("*.jpg")))
+        imgs = load_image_batch(paths, size, CI.CLIP_MEAN, CI.CLIP_STD)
+        tokens = np.asarray(encode(params, jnp.asarray(imgs)))
+        np.save(out_file, tokens)
+        print(f"{out_file.name}: {tokens.shape}")
+
+
 def run_tome(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -259,6 +281,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p = sub.add_parser("clip")
     common(p)
     p.add_argument("--encoder", default="ViT-L/14@336px")
+    p = sub.add_parser("clip-tokens")
+    common(p)
+    p.add_argument("--encoder", default="ViT-B/32")
     p = sub.add_parser("tome")
     common(p)
     p.add_argument("--model", default="vit_large_patch16_384")
@@ -295,6 +320,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_vggish(args)
     elif args.cmd == "clip":
         run_clip_frames(args)
+    elif args.cmd == "clip-tokens":
+        run_clip_tokens(args)
     elif args.cmd == "tome":
         run_tome(args)
     elif args.cmd == "questions":

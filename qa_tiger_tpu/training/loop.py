@@ -77,6 +77,13 @@ class AVQARunner:
             weight_decay=optim_cfg.get("weight_decay", 0.0) or 0.0,
         )
         self.opt_state = self.tx.init(self.trainable)
+        # two-group LR (reference src/trainutils.py:121-137): encoder-named
+        # params step at encoder_lr, everything else at the scheduled lr
+        from qa_tiger_tpu.training.optim import lr_multipliers
+
+        self._lr_mults = lr_multipliers(
+            self.trainable, optim_cfg.get("encoder_lr"),
+            optim_cfg.get("lr", 1e-4))
 
         # place params/opt state on the mesh
         t_shard = param_shardings(self.trainable, self.mesh)
@@ -120,7 +127,8 @@ class AVQARunner:
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
-        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: lr * m * u, updates, self._lr_mults)
         trainable = jax.tree_util.tree_map(jnp.add, trainable, updates)
         return trainable, opt_state, losses
 
@@ -231,6 +239,21 @@ class AVQARunner:
         return report["Total"]
 
     # ------------------------------------------------------------------
+    def train_state(self, **scalars) -> Dict[str, Any]:
+        """Snapshot for full mid-training resume (params + Adam moments +
+        host scalars) — a capability the reference's save-best-only flow
+        lacks (SURVEY.md §5 checkpoint/resume)."""
+        return {"params": self.trainable, "opt_state": self.opt_state,
+                **scalars}
+
+    def restore_train_state(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        self.trainable = jax.device_put(
+            state["params"], param_shardings(state["params"], self.mesh))
+        self.opt_state = jax.device_put(
+            state["opt_state"], replicated_sharding(self.mesh))
+        return {k: v for k, v in state.items()
+                if k not in ("params", "opt_state")}
+
     @property
     def params(self) -> Params:
         return merge_params(self.trainable, self.frozen)

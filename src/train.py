@@ -24,8 +24,10 @@ from qa_tiger_tpu.parallel import make_mesh  # noqa: E402
 from qa_tiger_tpu.training import (  # noqa: E402
     PlateauScheduler,
     load_checkpoint,
+    load_train_state,
     make_lr_schedule,
     save_checkpoint,
+    save_train_state,
 )
 from qa_tiger_tpu.training.loop import AVQARunner  # noqa: E402
 from qa_tiger_tpu.utils import (  # noqa: E402
@@ -98,8 +100,21 @@ def main():
             warmup_epochs=sched_cfg.get("warmup_epochs", 2))
 
     best_acc, best_epoch = 0.0, -1
+    start_epoch = 1
+    resume_dir = cfg.get("resume")
+    if resume_dir:
+        # full mid-training resume (params + optimizer moments + epoch),
+        # a capability the reference's save-best-only checkpoints lack
+        template = runner.train_state(epoch=0, best_acc=0.0, best_epoch=-1)
+        state = load_train_state(resume_dir, template)
+        scalars = runner.restore_train_state(state)
+        start_epoch = int(scalars.get("epoch", 0)) + 1
+        best_acc = float(scalars.get("best_acc", 0.0))
+        best_epoch = int(scalars.get("best_epoch", -1))
+        logger.info(f"resumed from {resume_dir} at epoch {start_epoch}")
+
     current_lr = optim_cfg.lr
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         if lr_for_epoch is not None:
             current_lr = lr_for_epoch(epoch)
         if writer is not None:
@@ -121,6 +136,12 @@ def main():
             if jax.process_index() == 0:
                 save_checkpoint(runner.params, save_dir / "best.npz",
                                 exclude_prefixes=("video_encoder",))
+        if not cfg.debug and cfg.get("save_state", True) \
+                and jax.process_index() == 0:
+            save_train_state(
+                runner.train_state(epoch=epoch, best_acc=best_acc,
+                                   best_epoch=best_epoch),
+                save_dir / "last_state")
         logger.info(f"Epoch {epoch} done with {acc:3.2f} and loss {loss:.5f}.")
         logger.info(f"At epoch{best_epoch} best acc: {best_acc:3.2f}.")
 

@@ -92,6 +92,47 @@ class TestBipartiteMatching:
         np.testing.assert_array_equal(np.asarray(j_src), t_src.numpy())
 
 
+class TestKthMatching:
+    @pytest.mark.parametrize("t,k", [(20, 2), (21, 3), (16, 4)])
+    def test_merge_parity(self, t, k):
+        metric = rand(2, t, 16)
+        x = rand(2, t, 8)
+        t_m, t_u = ref_merge.kth_bipartite_soft_matching(torch.tensor(metric), k)
+        j_m, j_u = tome.kth_bipartite_soft_matching(jnp.asarray(metric), k)
+        for mode in ("sum", "amax"):
+            np.testing.assert_allclose(
+                np.asarray(j_m(jnp.asarray(x), mode=mode)),
+                t_m(torch.tensor(x), mode=mode).numpy(),
+                rtol=1e-4, atol=1e-5)
+        merged = t_m(torch.tensor(x), mode="sum")
+        np.testing.assert_allclose(
+            np.asarray(j_u(jnp.asarray(merged.numpy()))),
+            t_u(merged).numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_k1_identity(self):
+        m, u = tome.kth_bipartite_soft_matching(jnp.asarray(rand(1, 8, 4)), 1)
+        x = jnp.asarray(rand(1, 8, 4))
+        assert m(x) is x and u(x) is x
+
+
+class TestRandomMatching:
+    def test_shapes_and_unmerge_consistency(self):
+        """Random variant has RNG-dependent sets, so check invariants instead
+        of torch parity: output size N-r, unmerge restores dst positions."""
+        import jax
+
+        metric = jnp.asarray(rand(2, 12, 16))
+        x = jnp.asarray(rand(2, 12, 8))
+        merge, unmerge = tome.random_bipartite_soft_matching(
+            metric, 4, rng=jax.random.PRNGKey(3))
+        merged = merge(x, mode="sum")
+        assert merged.shape == (2, 8, 8)
+        back = unmerge(merged)
+        assert back.shape == (2, 12, 8)
+        # every original position receives some value (sources copy their dst)
+        assert np.all(np.any(np.asarray(back) != 0, axis=-1))
+
+
 def test_r_zero_is_identity():
     metric = rand(2, 10, 4)
     merge, unmerge = tome.bipartite_soft_matching(jnp.asarray(metric), 0)
