@@ -117,14 +117,17 @@ def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
     patch_pair = M.patch_selecter(
         params["patch_selecter"], patch, audio, video, nhead=nhead,
         dropout_p=dp, train=train, rng=next_rng(rng, 2))
+    use_fused = cfg.get("use_fused", True)
     a_global = M.temp_moe(
         params["at_aggregator"], quest, audio, None, nhead=nhead,
         topK=cfg["topK"], n_experts=cfg["num_experts"], sigma=cfg["sigma"],
-        train=train, rng=next_rng(rng, 3), gather_mode=cfg["gather_mode"])
+        train=train, rng=next_rng(rng, 3), gather_mode=cfg["gather_mode"],
+        use_fused=use_fused)
     ap_global, vp_global = M.temp_moe(
         params["vt_aggregator"], quest, video, patch_pair, nhead=nhead,
         topK=cfg["topK"], n_experts=cfg["num_experts"], sigma=cfg["sigma"],
-        train=train, rng=next_rng(rng, 4), gather_mode=cfg["gather_mode"])
+        train=train, rng=next_rng(rng, 4), gather_mode=cfg["gather_mode"],
+        use_fused=use_fused)
     fusion = M.qst_grounding(
         params["quest_grounding"], quest, [ap_global, vp_global], nhead=nhead,
         dropout_p=dp, train=train, rng=next_rng(rng, 5))

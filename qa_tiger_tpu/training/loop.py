@@ -60,10 +60,14 @@ class AVQARunner:
                  mesh=None, seed: int = 0,
                  init_params: Optional[Params] = None):
         self.cfg = cfg
-        self.model_cfg = model_cfg
         self.forward_fn = forward_fn
         self.frozen_prefixes = frozen_prefixes
         self.mesh = mesh if mesh is not None else make_mesh()
+        # Pallas kernels require real TPU devices; decide once from the mesh
+        # instead of guessing inside traced code
+        self.model_cfg = dict(model_cfg)
+        self.model_cfg["use_fused"] = bool(
+            all(d.platform == "tpu" for d in self.mesh.devices.flat))
         self.logger = get_logger()
 
         key = jax.random.PRNGKey(seed)
