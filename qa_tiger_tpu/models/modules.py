@@ -154,17 +154,20 @@ def avq_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
                    visualize: bool = False):
     """Bidirectional question-guided cross attention (ref 239-265).
 
-    Both directions share the same parameter set, exactly like the reference
-    calling self.sub_forward twice.
+    Both directions share the same parameter set (the reference calls
+    self.sub_forward twice), so we run them as ONE batched pass over a
+    2B-sized batch — identical math, twice the MXU tile occupancy.
     """
-    src1, a_w = _avq_sub_forward(params, src_q, src_v, query, nhead=nhead,
-                                 dropout_p=dropout_p, train=train,
-                                 rng=next_rng(rng, 10))
-    src2, v_w = _avq_sub_forward(params, src_v, src_q, query, nhead=nhead,
-                                 dropout_p=dropout_p, train=train,
-                                 rng=next_rng(rng, 11))
+    B = src_q.shape[0]
+    q_cat = jnp.concatenate([src_q, src_v], axis=0)
+    v_cat = jnp.concatenate([src_v, src_q], axis=0)
+    query_cat = jnp.concatenate([query, query], axis=0)
+    out, w = _avq_sub_forward(params, q_cat, v_cat, query_cat, nhead=nhead,
+                              dropout_p=dropout_p, train=train,
+                              rng=next_rng(rng, 10))
+    src1, src2 = out[:B], out[B:]
     if visualize:
-        return src1, src2, [a_w, v_w]
+        return src1, src2, [w[:B], w[B:]]
     return src1, src2
 
 
@@ -284,20 +287,30 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
         w2t = jnp.transpose(w2, (0, 2, 1))  # [E, H, D]
 
         def aggregate(stream: jax.Array) -> jax.Array:
+            # streams stacked along batch share the per-sample weights; tile
+            # w to match so 2 streams run as ONE kernel launch
+            reps = stream.shape[0] // B
+            w = w_bet if reps == 1 else jnp.tile(w_bet, (reps, 1, 1))
             out = fused_gaussian_moe(stream, w1t, b1, w2t, b2,
-                                     w_bet.astype(stream.dtype))
-            return out[:, None, :]  # [B, 1, D]
+                                     w.astype(stream.dtype))
+            return out[:, None, :]  # [B*reps, 1, D]
     else:
         def aggregate(stream: jax.Array) -> jax.Array:
-            expert_out = experts_forward(w1, b1, w2, b2, stream)  # [B,T,E,D]
-            out = gaussian_expert_aggregate(expert_out, gauss_w, topk_inds,
-                                            topk_probs.astype(stream.dtype),
-                                            gather_mode=gather_mode)
-            return out[:, None, :]  # [B, 1, D]
+            reps = stream.shape[0] // B
+            tile = lambda a: (a if reps == 1  # noqa: E731
+                              else jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)))
+            expert_out = experts_forward(w1, b1, w2, b2, stream)
+            out = gaussian_expert_aggregate(
+                expert_out, tile(gauss_w), tile(topk_inds),
+                tile(topk_probs).astype(stream.dtype),
+                gather_mode=gather_mode)
+            return out[:, None, :]
 
     if sub_data is not None:
-        a_outs = aggregate(data + sub_data[0])
-        v_outs = aggregate(data + sub_data[1])
+        # both streams in one batched aggregation (identical math)
+        both = aggregate(jnp.concatenate(
+            [data + sub_data[0], data + sub_data[1]], axis=0))
+        a_outs, v_outs = both[:B], both[B:]
         return (layer_norm(params["anorm"], a_outs),
                 layer_norm(params["vnorm"], v_outs))
     outs = aggregate(data)

@@ -249,12 +249,16 @@ def tspm_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict, *,
     qst_prompt = linear(params["input_qst_prompt"], prompt)
 
     # AV_Attn with num_layers=1, norm=None (ref 332, 61-74): both directions
-    # share the single cloned layer and read the ORIGINAL projections.
+    # share the single cloned layer and read the ORIGINAL projections — run
+    # them as one batched 2B pass (identical math, better MXU occupancy).
     layer_p = params["AV_Attn"]["layers"]["0"]
-    audio_avattn = av_han_layer(layer_p, audio_feat, visual_feat, nhead=1,
-                                dp=dp, train=train, rng=next_rng(rng, 0))
-    visual_avattn = av_han_layer(layer_p, visual_feat, audio_feat, nhead=1,
-                                 dp=dp, train=train, rng=next_rng(rng, 1))
+    B = audio_feat.shape[0]
+    both = av_han_layer(
+        layer_p,
+        jnp.concatenate([audio_feat, visual_feat], axis=0),
+        jnp.concatenate([visual_feat, audio_feat], axis=0),
+        nhead=1, dp=dp, train=train, rng=next_rng(rng, 0))
+    audio_avattn, visual_avattn = both[:B], both[B:]
 
     audio_tssm, visual_tssm, topk_idx = temporal_perception(
         params["TemporalPerception"], audio_feat, visual_feat, qst_prompt,

@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qa_tiger_tpu.nn.core import Params, dropout, linear
+from qa_tiger_tpu.nn.core import Params, dropout, linear, matmul_pref
 
 
 def mha_init(key: jax.Array, d_model: int, dtype=jnp.float32) -> Params:
@@ -70,25 +70,33 @@ def mha(params: Params,
     head_dim = D // num_heads
     assert head_dim * num_heads == D, "d_model must divide num_heads"
 
+    # projections accumulate in fp32 on the MXU, then round back to the
+    # activation dtype immediately — otherwise q/k/v live as fp32 tensors
+    # through the reshapes below and double the HBM traffic under bf16
+    dt = query.dtype
     w = params["in_proj_weight"]
     b = params["in_proj_bias"]
     if query is key and key is value:
         # self-attention: one fused [D, 3D] projection keeps the MXU busy
-        qkv = jnp.matmul(query, w.T, preferred_element_type=jnp.float32) + b
+        qkv = (jnp.matmul(query, w.T, preferred_element_type=matmul_pref(dt))
+               + b.astype(matmul_pref(dt))).astype(dt)
         q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
     elif key is value:
         # cross-attention with shared k/v source: fuse the [D, 2D] projection
-        w_q = w[:D]
-        b_q = b[:D]
-        q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
-        kv = jnp.matmul(key, w[D:].T, preferred_element_type=jnp.float32) + b[D:]
+        q = (jnp.matmul(query, w[:D].T, preferred_element_type=matmul_pref(dt))
+             + b[:D].astype(matmul_pref(dt))).astype(dt)
+        kv = (jnp.matmul(key, w[D:].T, preferred_element_type=matmul_pref(dt))
+              + b[D:].astype(matmul_pref(dt))).astype(dt)
         k, v = kv[..., :D], kv[..., D:]
     else:
         w_q, w_k, w_v = w[:D], w[D:2 * D], w[2 * D:]
         b_q, b_k, b_v = b[:D], b[D:2 * D], b[2 * D:]
-        q = jnp.matmul(query, w_q.T, preferred_element_type=jnp.float32) + b_q
-        k = jnp.matmul(key, w_k.T, preferred_element_type=jnp.float32) + b_k
-        v = jnp.matmul(value, w_v.T, preferred_element_type=jnp.float32) + b_v
+        q = (jnp.matmul(query, w_q.T, preferred_element_type=matmul_pref(dt))
+             + b_q.astype(matmul_pref(dt))).astype(dt)
+        k = (jnp.matmul(key, w_k.T, preferred_element_type=matmul_pref(dt))
+             + b_k.astype(matmul_pref(dt))).astype(dt)
+        v = (jnp.matmul(value, w_v.T, preferred_element_type=matmul_pref(dt))
+             + b_v.astype(matmul_pref(dt))).astype(dt)
 
     # [B, H, S, hd]
     q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -107,9 +115,9 @@ def mha(params: Params,
 
     ctx = jnp.einsum(
         "bhqk,bhkd->bhqd", probs_dropped.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-    )
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D).astype(query.dtype)
+        preferred_element_type=matmul_pref(dt),
+    ).astype(dt)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
     out = linear(params["out_proj"], ctx)
 
     avg_weights = jnp.mean(probs, axis=1).astype(query.dtype)  # [B, Sq, Sk]

@@ -65,10 +65,19 @@ def kaiming_linear_init(key: jax.Array, in_features: int, out_features: int,
     return {"weight": weight, "bias": jnp.zeros((out_features,), dtype)}
 
 
+def matmul_pref(dtype) -> Any:
+    """Output dtype for MXU matmuls: fp32 activations keep fp32 outputs; for
+    bf16 activations the MXU still accumulates in fp32 internally but rounds
+    the OUTPUT to bf16 — halving the HBM bytes of every projection (the
+    model is HBM-bandwidth-bound, see SURVEY §6 / ops/pallas docs)."""
+    return jnp.float32 if dtype == jnp.float32 else dtype
+
+
 def linear(params: Params, x: jax.Array) -> jax.Array:
-    """y = x @ W.T + b with fp32 MXU accumulation."""
-    y = jnp.matmul(x, params["weight"].T, preferred_element_type=jnp.float32)
-    y = y + params["bias"]
+    """y = x @ W.T + b (fp32 accumulation on the MXU)."""
+    pref = matmul_pref(x.dtype)
+    y = jnp.matmul(x, params["weight"].T, preferred_element_type=pref)
+    y = y + params["bias"].astype(pref)
     return y.astype(x.dtype)
 
 
