@@ -71,6 +71,16 @@ class AVQADataset:
         self.tokenizer = ClipTokenizer() if self.quest_feat is None else None
         self.cache: Dict[str, np.ndarray] = {}
         self.cache_features = bool(cfg.data.get("cache_features", False))
+        # consolidated memmap shards (pipeline/consolidate.py) are detected
+        # per modality and served by fancy-indexed batch gathers
+        from qa_tiger_tpu.pipeline.consolidate import open_if_shard
+
+        self.shards = {
+            key: open_if_shard(path)
+            for key, path in (("audio", self.audio_feat),
+                              ("video", self.video_feat),
+                              ("patch", self.patch_feat))
+        }
         # native C++ batch reader (qa_tiger_tpu/data/native): eligible when
         # features are read whole (frame_sample_rate == 1) and not cached
         self.use_native = (bool(cfg.data.get("native_loader", True))
@@ -86,23 +96,42 @@ class AVQADataset:
             for key, base in (("audio", self.audio_feat),
                               ("video", self.video_feat),
                               ("patch", self.patch_feat)):
-                if base is not None:
+                if base is None:
+                    continue
+                shard = self.shards.get(key)
+                if shard is not None:
+                    shapes[key] = shard.item_shape
+                else:
                     shapes[key] = np.load(base / f"{name}.npy",
                                           mmap_mode="r").shape
             self._feature_shapes = shapes
         return self._feature_shapes
 
+    def _feature(self, key: str, base: Path, name: str) -> np.ndarray:
+        shard = self.shards.get(key)
+        if shard is not None:
+            return shard.get(name)
+        return self._load_npy(base, name)
+
     def load_feature_batch(self, names) -> Dict[str, np.ndarray]:
-        """Batch-read audio/video/patch features for ``names`` via the native
-        loader (falls back to numpy internally)."""
+        """Batch-read audio/video/patch features for ``names``: consolidated
+        shards via one memmap gather, else the native C++ loader (numpy
+        fallback inside)."""
         from qa_tiger_tpu.data.native_loader import load_npy_batch
 
-        shapes = self.feature_shapes()
         out = {}
+        shapes = None
         for key, base in (("audio", self.audio_feat),
                           ("video", self.video_feat),
                           ("patch", self.patch_feat)):
-            if base is not None:
+            if base is None:
+                continue
+            shard = self.shards.get(key)
+            if shard is not None:
+                out[key] = shard.get_batch(names).astype(np.float32)
+            else:
+                if shapes is None:
+                    shapes = self.feature_shapes()
                 paths = [base / f"{n}.npy" for n in names]
                 out[key] = load_npy_batch(paths, shapes[key])
         return out
@@ -139,12 +168,12 @@ class AVQADataset:
             item["quest"] = self.tokenizer(
                 sample["question_content"], truncate=True)[0]
 
-        video = self._load_npy(self.video_feat, name)[:: self.sample_rate]
+        video = self._feature("video", self.video_feat, name)[:: self.sample_rate]
         item["video"] = video.astype(np.float32)
         if self.patch_feat is not None:
-            patch = self._load_npy(self.patch_feat, name)[:: self.sample_rate]
+            patch = self._feature("patch", self.patch_feat, name)[:: self.sample_rate]
             item["patch"] = patch.astype(np.float32)
-        audio = self._load_npy(self.audio_feat, name)
+        audio = self._feature("audio", self.audio_feat, name)
         item["audio"] = audio.astype(np.float32)
         return item
 
