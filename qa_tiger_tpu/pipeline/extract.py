@@ -289,6 +289,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--model", default="vit_large_patch16_384")
     p.add_argument("--r", type=int, default=25)
     p.add_argument("--layers", type=int, default=23)
+    p = sub.add_parser("consolidate")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
     for name in ("questions", "prompts"):
         p = sub.add_parser(name)
         p.add_argument("--annot", required=True)
@@ -324,6 +327,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         run_clip_tokens(args)
     elif args.cmd == "tome":
         run_tome(args)
+    elif args.cmd == "consolidate":
+        from qa_tiger_tpu.pipeline.consolidate import consolidate
+
+        out, n = consolidate(args.src, args.dst)
+        print(f"packed {n} items -> {out}")
     elif args.cmd == "questions":
         run_questions(args, use_prompt=False)
     elif args.cmd == "prompts":
