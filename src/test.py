@@ -44,6 +44,10 @@ def main():
     seed_everything(cfg.seed)
     mesh = make_mesh()
 
+    # build the first test dataset before the model so the answer vocabulary
+    # (and thus num_labels) comes from the configured split — e.g.
+    # MUSIC-AVQA-v2.0 carries its own answer2idx
+    first_ds = AVQADataset(cfg, mode="test", repo_root=ROOT)
     model_cfg, init_fn, forward_fn, frozen = build_model(
         cfg.hyper_params.model_type, cfg.hyper_params.model,
         num_labels=cfg.get("num_labels", 42))
@@ -60,7 +64,9 @@ def main():
         if annot is not None:
             cfg.data.test_annot = annot
             logger.info(f"\nTesting... {annot}")
-        ds = AVQADataset(cfg, mode="test", repo_root=ROOT)
+            ds = AVQADataset(cfg, mode="test", repo_root=ROOT)
+        else:
+            ds = first_ds
         loader = BatchLoader(
             ds, cfg.data.eval_batch_size // jax.process_count(),
             shuffle=False, shard_id=jax.process_index(),
