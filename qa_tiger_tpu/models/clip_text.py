@@ -131,7 +131,7 @@ def resblock(params: Params, x: jax.Array, *, heads: int,
              mask: Optional[jax.Array]) -> jax.Array:
     h = layer_norm(params["ln_1"], x)
     attn_out, _ = mha(params["attn"], h, h, h, num_heads=heads,
-                      attn_mask=mask)
+                      attn_mask=mask, need_weights=False)
     x = x + attn_out
     h = layer_norm(params["ln_2"], x)
     h = linear(params["mlp"]["c_fc"], h)

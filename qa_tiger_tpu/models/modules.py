@@ -80,9 +80,11 @@ def _av_sub_forward(params: Params, src_q: jax.Array, src_v: jax.Array,
                     *, nhead: int, dropout_p: float, train: bool,
                     rng: Optional[jax.Array]) -> jax.Array:
     slf, _ = mha(params["slf_attn"], src_q, src_q, src_q, num_heads=nhead,
-                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 0))
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 0),
+                 need_weights=False)
     crs, _ = mha(params["crs_attn"], src_q, src_v, src_v, num_heads=nhead,
-                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1))
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1),
+                 need_weights=False)
     x = src_q + dropout(next_rng(rng, 2), slf, dropout_p, train) \
         + dropout(next_rng(rng, 3), crs, dropout_p, train)
     x = layer_norm(params["norm1"], x)
@@ -125,17 +127,20 @@ def avq_cross_attn_init(key: jax.Array, d_model: int) -> Params:
 
 def _avq_sub_forward(params: Params, src_q: jax.Array, src_v: jax.Array,
                      query: jax.Array, *, nhead: int, dropout_p: float,
-                     train: bool, rng: Optional[jax.Array]
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     train: bool, rng: Optional[jax.Array],
+                     need_weights: bool = True
+                     ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """One direction: residual = src + drop(slf) + drop(crs) + drop(qst)
     (ref src/models/modules.py:215-228). Returns (out, question-attn weights)."""
     qst_out, weight = mha(params["qst_attn"], src_q, query, query,
                           num_heads=nhead, dropout_p=dropout_p, train=train,
-                          rng=next_rng(rng, 0))
+                          rng=next_rng(rng, 0), need_weights=need_weights)
     slf, _ = mha(params["slf_attn"], src_q, src_q, src_q, num_heads=nhead,
-                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1))
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 1),
+                 need_weights=False)
     crs, _ = mha(params["crs_attn"], src_q, src_v, src_v, num_heads=nhead,
-                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 2))
+                 dropout_p=dropout_p, train=train, rng=next_rng(rng, 2),
+                 need_weights=False)
     x = src_q \
         + dropout(next_rng(rng, 3), slf, dropout_p, train) \
         + dropout(next_rng(rng, 4), crs, dropout_p, train) \
@@ -164,7 +169,7 @@ def avq_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
     query_cat = jnp.concatenate([query, query], axis=0)
     out, w = _avq_sub_forward(params, q_cat, v_cat, query_cat, nhead=nhead,
                               dropout_p=dropout_p, train=train,
-                              rng=next_rng(rng, 10))
+                              rng=next_rng(rng, 10), need_weights=visualize)
     src1, src2 = out[:B], out[B:]
     if visualize:
         return src1, src2, [w[:B], w[B:]]
@@ -197,7 +202,8 @@ def qst_grounding(params: Params, qst: jax.Array,
         data = jnp.concatenate(list(data), axis=1)
     q = qst[:, None, :]  # [B, 1, D]
     attn_out, _ = mha(params["attn"], q, data, data, num_heads=nhead,
-                      dropout_p=0.1, train=train, rng=next_rng(rng, 0))
+                      dropout_p=0.1, train=train, rng=next_rng(rng, 0),
+                      need_weights=False)
     attn_out = attn_out[:, 0]
     feat = jnp.mean(data, axis=1) + dropout(
         next_rng(rng, 1), mlp2(params["mlp"], attn_out), dropout_p, train
@@ -260,7 +266,7 @@ def temp_moe(params: Params, qst: jax.Array, data: jax.Array,
     # question attends the temporal stream -> routing feature [B, D]
     temp_w, _ = mha(params["qst_attn"], qst[:, None, :], data, data,
                     num_heads=nhead, dropout_p=0.1, train=train,
-                    rng=next_rng(rng, 0))
+                    rng=next_rng(rng, 0), need_weights=False)
     temp_w = temp_w[:, 0]
 
     router_probs = jax.nn.softmax(
@@ -349,13 +355,13 @@ def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
 
     slf, _ = mha(params["slf_attn"], patch_bt, patch_bt, patch_bt,
                  num_heads=nhead, dropout_p=dropout_p, train=train,
-                 rng=next_rng(rng, 0))
+                 rng=next_rng(rng, 0), need_weights=False)
     patch_bt = patch_bt + slf
 
     query = jnp.concatenate([video_bt, audio_bt], axis=1)  # [B*T, 2, D] video first
     crs, _ = mha(params["crs_attn"], query, patch_bt, patch_bt,
                  num_heads=nhead, dropout_p=dropout_p, train=train,
-                 rng=next_rng(rng, 1))
+                 rng=next_rng(rng, 1), need_weights=False)
     out = mlp2(params["mlp"], dropout(next_rng(rng, 2), crs, dropout_p, train))
     v_rel, a_rel = out[:, 0], out[:, 1]
     a_final = a_rel.reshape(B, T, D)

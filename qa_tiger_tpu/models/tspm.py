@@ -88,9 +88,11 @@ def av_han_layer(p: Params, src_q: jax.Array, src_v: jax.Array, *,
                  rng: Optional[jax.Array]) -> jax.Array:
     """One cross+self attention block (ref src/models/tspm.py:35-47)."""
     crs, _ = mha(p["cm_attn"], src_q, src_v, src_v, num_heads=nhead,
-                 dropout_p=dp, train=train, rng=next_rng(rng, 0))
+                 dropout_p=dp, train=train, rng=next_rng(rng, 0),
+                 need_weights=False)
     slf, _ = mha(p["self_attn"], src_q, src_q, src_q, num_heads=nhead,
-                 dropout_p=dp, train=train, rng=next_rng(rng, 1))
+                 dropout_p=dp, train=train, rng=next_rng(rng, 1),
+                 need_weights=False)
     x = src_q + dropout(next_rng(rng, 2), crs, dp, train) \
         + dropout(next_rng(rng, 3), slf, dp, train)
     x = layer_norm(p["norm1"], x)
@@ -103,7 +105,9 @@ def av_han_layer(p: Params, src_q: jax.Array, src_v: jax.Array, *,
 
 def _attn_ffn(p: Params, query: jax.Array, key: jax.Array, value: jax.Array,
               *, nhead: int, dp: float, train: bool,
-              rng: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+              rng: Optional[jax.Array],
+              need_weights: bool = False
+              ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """MHA + residual FFN + LayerNorm, the repeated TSPM sub-block
     (ref QstQueryClipAttn, src/models/tspm.py:93-110).
 
@@ -111,7 +115,7 @@ def _attn_ffn(p: Params, query: jax.Array, key: jax.Array, value: jax.Array,
     """
     attn_feat, weights = mha(p["attn_qst_query"], query, key, value,
                              num_heads=nhead, dropout_p=dp, train=train,
-                             rng=next_rng(rng, 0))
+                             rng=next_rng(rng, 0), need_weights=need_weights)
     src = linear(p["qst_query_linear1"], attn_feat)
     src = jax.nn.relu(src)
     src = dropout(next_rng(rng, 1), src, dp, train)
@@ -135,7 +139,8 @@ def temporal_perception(p: Params, audio: jax.Array, visual: jax.Array,
     """Question-prompt-guided discrete top-K frame selection
     (ref TemporalPerception, src/models/tspm.py:77-143)."""
     _, weights = _attn_ffn(p, qst_prompt[:, None, :], visual, visual,
-                           nhead=4, dp=dp, train=train, rng=rng)
+                           nhead=4, dp=dp, train=train, rng=rng,
+                           need_weights=True)
     idx = topk_time_indices(weights, topK)  # [B, K]
     out_audio = jnp.take_along_axis(audio, idx[:, :, None], axis=1)
     out_visual = jnp.take_along_axis(visual, idx[:, :, None], axis=1)
@@ -146,7 +151,7 @@ def tokens_self_attn(p: Params, x: jax.Array, *, nhead: int, dp: float,
                      train: bool, rng: Optional[jax.Array]) -> jax.Array:
     """Patch-token self-attention block (ref TokensSelfAttn, 189-222)."""
     slf, _ = mha(p["self_attn"], x, x, x, num_heads=nhead, dropout_p=dp,
-                 train=train, rng=next_rng(rng, 0))
+                 train=train, rng=next_rng(rng, 0), need_weights=False)
     x = x + dropout(next_rng(rng, 1), slf, dp, train)
     x = layer_norm(p["norm1"], x)
     ffn = linear(p["linear2"],

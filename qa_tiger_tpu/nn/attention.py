@@ -63,8 +63,14 @@ def mha(params: Params,
         train: bool = False,
         rng: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,  # additive [Sq, Sk]
-        ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (attn_output [B, Sq, D], head-averaged weights [B, Sq, Sk])."""
+        need_weights: bool = True,
+        ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Returns (attn_output [B, Sq, D], head-averaged weights [B, Sq, Sk]).
+
+    ``need_weights=False`` (and no attention dropout active) routes through
+    the fused Pallas attention kernel on TPU — probabilities stay in VMEM —
+    and returns None for the weights. Numerics are identical either way.
+    """
     B, Sq, D = query.shape
     Sk = key.shape[1]
     head_dim = D // num_heads
@@ -104,6 +110,18 @@ def mha(params: Params,
     v = v.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     scale = 1.0 / math.sqrt(head_dim)
+
+    if not need_weights and (not train or dropout_p == 0.0 or rng is None):
+        from qa_tiger_tpu.ops.pallas.attention import fused_attention
+
+        ctx = fused_attention(
+            q.reshape(B * num_heads, Sq, head_dim),
+            k.reshape(B * num_heads, Sk, head_dim),
+            v.reshape(B * num_heads, Sk, head_dim),
+            attn_mask, scale)
+        ctx = ctx.reshape(B, num_heads, Sq, head_dim)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+        return linear(params["out_proj"], ctx), None
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )

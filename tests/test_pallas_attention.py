@@ -1,0 +1,84 @@
+"""Fused attention kernel: parity (interpret mode), gradients, masks, and
+mha integration (need_weights=False path equals the weights path)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu import nn as qnn
+from qa_tiger_tpu.ops.pallas.attention import _reference_impl, fused_attention
+
+RNG = np.random.default_rng(0)
+
+
+def rand(*shape):
+    return RNG.standard_normal(shape, dtype=np.float32)
+
+
+@pytest.mark.parametrize("bh,sq,sk,dh", [(6, 77, 77, 64), (10, 1, 60, 64),
+                                         (8, 14, 14, 64), (5, 60, 60, 32)])
+def test_kernel_matches_reference(bh, sq, sk, dh):
+    q, k, v = rand(bh, sq, dh), rand(bh, sk, dh), rand(bh, sk, dh)
+    scale = dh ** -0.5
+    expected = _reference_impl(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               None, scale)
+    got = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          None, scale, bh_tile=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_with_causal_mask():
+    bh, s, dh = 6, 12, 32
+    q, k, v = rand(bh, s, dh), rand(bh, s, dh), rand(bh, s, dh)
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
+    scale = dh ** -0.5
+    expected = _reference_impl(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               mask, scale)
+    got = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          mask, scale, bh_tile=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_reference():
+    bh, s, dh = 4, 10, 32
+    q, k, v = (jnp.asarray(rand(bh, s, dh)) for _ in range(3))
+    scale = dh ** -0.5
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, None, scale, bh_tile=2,
+                                       interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_impl(q, k, v, None, scale) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_mha_no_weights_path_matches_weights_path():
+    torch = pytest.importorskip("torch")
+    d, nhead = 64, 8
+    tm = torch.nn.MultiheadAttention(d, nhead).eval()
+    params = {
+        "in_proj_weight": jnp.asarray(tm.in_proj_weight.detach().numpy()),
+        "in_proj_bias": jnp.asarray(tm.in_proj_bias.detach().numpy()),
+        "out_proj": {
+            "weight": jnp.asarray(tm.out_proj.weight.detach().numpy()),
+            "bias": jnp.asarray(tm.out_proj.bias.detach().numpy()),
+        },
+    }
+    q = jnp.asarray(rand(3, 20, d))
+    kv = jnp.asarray(rand(3, 15, d))
+    out_w, w = qnn.mha(params, q, kv, kv, num_heads=nhead, need_weights=True)
+    out_nw, none_w = qnn.mha(params, q, kv, kv, num_heads=nhead,
+                             need_weights=False)
+    assert none_w is None
+    assert w is not None
+    np.testing.assert_allclose(np.asarray(out_nw), np.asarray(out_w),
+                               rtol=1e-4, atol=1e-5)
