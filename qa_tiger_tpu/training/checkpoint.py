@@ -54,6 +54,50 @@ def load_checkpoint(path: str | Path,
     return merge_pytrees(base_np, loaded)
 
 
+def save_train_state_orbax(state: Dict[str, Any], path: str | Path) -> None:
+    """Orbax-backed full-state checkpoint (async-capable, multi-host-safe).
+
+    Same contents as ``save_train_state``; use this on real deployments —
+    the .npz path remains as the dependency-free fallback.
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    meta = {k: v for k, v in state.items()
+            if k not in ("params", "opt_state")}
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        ckptr.save(
+            path,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(state["params"]),
+                opt_state=ocp.args.StandardSave(state["opt_state"]),
+                meta=ocp.args.JsonSave(meta),
+            ),
+            force=True,
+        )
+
+
+def load_train_state_orbax(path: str | Path, template: Dict[str, Any]
+                           ) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(
+            path,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(template["params"]),
+                opt_state=ocp.args.StandardRestore(template["opt_state"]),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    out = dict(template)
+    out["params"] = restored["params"]
+    out["opt_state"] = restored["opt_state"]
+    out.update(restored["meta"])
+    return out
+
+
 def save_train_state(state: Dict[str, Any], path: str | Path) -> None:
     """Full resume checkpoint: params + optimizer state + host scalars."""
     path = Path(path)
