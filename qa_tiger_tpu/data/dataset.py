@@ -31,7 +31,6 @@ from qa_tiger_tpu.data.annotations import (
     load_annotations,
     load_answer_vocab,
     qtype_index,
-    substitute_template,
 )
 from qa_tiger_tpu.data.tokenizer import ClipTokenizer
 

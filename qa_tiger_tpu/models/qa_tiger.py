@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from qa_tiger_tpu.models import modules as M
-from qa_tiger_tpu.models.clip_text import clip_text_encode, clip_text_init, text_config
+from qa_tiger_tpu.models.clip_text import clip_text_encode, clip_text_init
 from qa_tiger_tpu.nn import kaiming_linear_init, linear, next_rng
 
 Params = dict

@@ -26,7 +26,7 @@ functionally subsumed by ``temporal_perception`` here.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,8 +27,6 @@ kernel is safe to use under jax.grad.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

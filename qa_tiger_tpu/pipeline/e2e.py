@@ -17,10 +17,9 @@ for the BASELINE "end-to-end on-TPU pipeline" configuration.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from qa_tiger_tpu.models import clip_image, vit
 from qa_tiger_tpu.models.qa_tiger import qa_tiger_forward

@@ -20,7 +20,7 @@ the per-second wavfile reader (src/models/vggish.py:94-129).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ function, discarding a warmup fraction of iterations. Differences for TPU:
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

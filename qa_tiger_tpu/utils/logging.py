@@ -16,7 +16,6 @@ import json
 import logging
 import os
 import platform
-import sys
 import warnings
 import zipfile
 from datetime import datetime

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import contextlib
 from collections import defaultdict
-from typing import Iterable, List, Tuple
+from typing import Iterable, Tuple
 
 import jax
 
