@@ -131,12 +131,26 @@ def fused_gaussian_moe(x: jax.Array,      # [B, T, D]
     return _forward(x, w1t, b1, w2t, b2, w, batch_tile, interpret)
 
 
+# process-wide override for "are we compiling for TPU devices?", set by
+# AVQARunner from its mesh (tracers can't be asked for their devices). None =
+# auto-detect below.
+_FORCE_TPU_KERNELS: bool | None = None
+
+
+def set_tpu_kernels_enabled(enabled: bool | None) -> None:
+    global _FORCE_TPU_KERNELS
+    _FORCE_TPU_KERNELS = enabled
+
+
 def _on_tpu(x) -> bool:
     """True when this computation will run on a TPU device.
 
-    Eagerly: inspect the array's committed devices. Under jit (tracer):
-    honour an explicitly-pinned jax_default_device, else the default backend.
+    Order: explicit runner override; eager arrays' committed devices; under
+    jit (tracer) an explicitly-pinned jax_default_device, else the default
+    backend.
     """
+    if _FORCE_TPU_KERNELS is not None:
+        return _FORCE_TPU_KERNELS
     if isinstance(x, jax.core.Tracer):
         default = jax.config.jax_default_device
         if default is not None:

@@ -64,10 +64,15 @@ class AVQARunner:
         self.frozen_prefixes = frozen_prefixes
         self.mesh = mesh if mesh is not None else make_mesh()
         # Pallas kernels require real TPU devices; decide once from the mesh
-        # instead of guessing inside traced code
+        # instead of guessing inside traced code (covers both the Gaussian-MoE
+        # kernel via model_cfg and the fused attention via the global flag)
+        on_tpu = bool(all(d.platform == "tpu"
+                          for d in self.mesh.devices.flat))
         self.model_cfg = dict(model_cfg)
-        self.model_cfg["use_fused"] = bool(
-            all(d.platform == "tpu" for d in self.mesh.devices.flat))
+        self.model_cfg["use_fused"] = on_tpu
+        from qa_tiger_tpu.ops.pallas.gaussian_moe import set_tpu_kernels_enabled
+
+        set_tpu_kernels_enabled(on_tpu)
         self.logger = get_logger()
 
         key = jax.random.PRNGKey(seed)
@@ -243,6 +248,27 @@ class AVQARunner:
         return report["Total"]
 
     # ------------------------------------------------------------------
+    def load_clip_text_weights(self, path: str) -> None:
+        """Load a converted OpenAI CLIP checkpoint (.pt or .npz of the text
+        tower) into the frozen ``quest_encoder`` — the counterpart of the
+        reference's clip.load() download inside CLIP_TEncoder
+        (src/models/encoders.py:13)."""
+        from pathlib import Path as _Path
+
+        if str(path).endswith(".pt"):
+            from qa_tiger_tpu.convert.clip_import import convert_clip_checkpoint
+
+            text_params, _, _ = convert_clip_checkpoint(str(path))
+        else:
+            from qa_tiger_tpu.training.checkpoint import load_checkpoint
+
+            text_params, _, _ = load_checkpoint(_Path(path))
+            text_params = text_params.get("quest_encoder", text_params)
+        self.frozen = jax.device_put(
+            {"quest_encoder": text_params},
+            param_shardings({"quest_encoder": text_params}, self.mesh))
+        self.logger.info(f"loaded frozen CLIP text tower from {path}")
+
     def train_state(self, **scalars) -> Dict[str, Any]:
         """Snapshot for full mid-training resume (params + Adam moments +
         host scalars) — a capability the reference's save-best-only flow

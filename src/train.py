@@ -67,7 +67,15 @@ def main():
 
     logging_config(cfg)
     seed_everything(cfg.seed)
-    mesh = make_mesh()
+    platform = cfg.hyper_params.get("platform")
+    devices = jax.devices(platform) if platform else jax.devices()
+    # the data axis must divide the (per-host) batch sizes; use the largest
+    # device count that does
+    n = len(devices)
+    min_batch = min(int(cfg.data.batch_size), int(cfg.data.eval_batch_size))
+    while n > 1 and min_batch % n:
+        n -= 1
+    mesh = make_mesh(n_devices=n, devices=devices)
 
     loaders = make_loaders(cfg, mesh)
     model_cfg, init_fn, forward_fn, frozen = build_model(
@@ -75,6 +83,9 @@ def main():
         num_labels=cfg.get("num_labels", 42))
     runner = AVQARunner(cfg, model_cfg, init_fn, forward_fn, frozen,
                         mesh=mesh, seed=cfg.seed)
+    clip_weights = cfg.hyper_params.model.get("clip_weights")
+    if clip_weights:
+        runner.load_clip_text_weights(clip_weights)
     if cfg.get("weight"):
         params, missing, unexpected = load_checkpoint(cfg.weight, runner.params)
         logger.info(f"Missing keys: {missing}")
