@@ -106,12 +106,16 @@ def _tiny_encoder(monkeypatch):
             *a, **{**k, "devices": jax.devices("cpu")}))
 
 
+def _cpu_mesh(*args, n_devices=None, **kwargs):
+    from qa_tiger_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(n_devices=n_devices,
+                              devices=jax.devices("cpu"))
+
+
 def test_train_then_test_cli(workdir, monkeypatch, capsys):
     train_mod = _load_entry("train")
-    monkeypatch.setattr(train_mod, "make_mesh",
-                        lambda: __import__("qa_tiger_tpu.parallel.mesh",
-                                           fromlist=["make_mesh"]).make_mesh(
-                                               devices=jax.devices("cpu")))
+    monkeypatch.setattr(train_mod, "make_mesh", _cpu_mesh)
     monkeypatch.setattr(sys, "argv", [
         "train.py", "--config", str(workdir / "tiny.py"), "--mode", "train"])
     train_mod.main()
@@ -124,10 +128,7 @@ def test_train_then_test_cli(workdir, monkeypatch, capsys):
     assert (runs[0] / "code_snapshot.zip").exists()
 
     test_mod = _load_entry("test")
-    monkeypatch.setattr(test_mod, "make_mesh",
-                        lambda: __import__("qa_tiger_tpu.parallel.mesh",
-                                           fromlist=["make_mesh"]).make_mesh(
-                                               devices=jax.devices("cpu")))
+    monkeypatch.setattr(test_mod, "make_mesh", _cpu_mesh)
     out_dir = workdir / "eval_out"
     monkeypatch.setattr(sys, "argv", [
         "test.py", "--config", str(workdir / "tiny.py"), "--mode", "test",
