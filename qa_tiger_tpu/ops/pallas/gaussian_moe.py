@@ -145,21 +145,21 @@ def set_tpu_kernels_enabled(enabled: bool | None) -> None:
 def _on_tpu(x) -> bool:
     """True when this computation will run on a TPU device.
 
-    Order: explicit runner override; eager arrays' committed devices; under
-    jit (tracer) an explicitly-pinned jax_default_device, else the default
-    backend.
+    Order: eager arrays' committed devices (ground truth); for tracers the
+    runner override, then an explicitly-pinned jax_default_device, then the
+    default backend.
     """
+    if not isinstance(x, jax.core.Tracer):
+        try:
+            return any(d.platform == "tpu" for d in x.devices())
+        except Exception:
+            pass
     if _FORCE_TPU_KERNELS is not None:
         return _FORCE_TPU_KERNELS
-    if isinstance(x, jax.core.Tracer):
-        default = jax.config.jax_default_device
-        if default is not None:
-            return getattr(default, "platform", None) == "tpu"
-        return jax.default_backend() == "tpu"
-    try:
-        return any(d.platform == "tpu" for d in x.devices())
-    except Exception:
-        return jax.default_backend() == "tpu"
+    default = jax.config.jax_default_device
+    if default is not None:
+        return getattr(default, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def _forward(x, w1t, b1, w2t, b2, w, batch_tile, interpret):

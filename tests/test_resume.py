@@ -36,7 +36,9 @@ def make_runner(seed=0):
     ))
     model_cfg = qa_tiger_config(num_labels=42, **TINY)
     return AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
-                      FROZEN_PREFIXES, mesh=make_mesh(1), seed=seed)
+                      FROZEN_PREFIXES,
+                      mesh=make_mesh(1, devices=jax.devices("cpu")),
+                      seed=seed)
 
 
 def synth_batch(rng, b=4):

@@ -118,7 +118,9 @@ def test_load_clip_text_weights(tmp_path):
         d_model=32, video_dim=32, patch_dim=24, audio_dim=16, topK=2,
         num_experts=3, num_labels=4, encoder_type="tiny-sh2")
     runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
-                        FROZEN_PREFIXES, mesh=make_mesh(1), seed=0)
+                        FROZEN_PREFIXES,
+                        mesh=make_mesh(1, devices=jax.devices("cpu")),
+                        seed=0)
     runner.load_clip_text_weights(str(tmp_path / "clip.npz"))
     got = np.asarray(
         runner.frozen["quest_encoder"]["token_embedding"]["weight"])

@@ -132,7 +132,7 @@ class TestEndToEnd:
     def test_loss_decreases_and_frozen_stays(self):
         cfg = tiny_cfg()
         model_cfg = qa_tiger_config(num_labels=42, **TINY)
-        mesh = make_mesh(1)
+        mesh = make_mesh(1, devices=jax.devices("cpu"))
         runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
                             FROZEN_PREFIXES, mesh=mesh, seed=0)
         rng = np.random.default_rng(0)
