@@ -31,10 +31,22 @@ from qa_tiger_tpu.ops.tome import bipartite_soft_matching, merge_source, merge_w
 Params = dict
 
 VIT_CONFIGS: Dict[str, dict] = {
+    # the extraction recipe's model (scripts/extract_ToMe/extract_tome14.py)
     "vit_large_patch16_384": dict(img_size=384, patch_size=16, width=1024,
                                   depth=24, heads=16, ln_eps=1e-6),
+    # common timm variants for alternative extraction recipes
+    "vit_large_patch16_224": dict(img_size=224, patch_size=16, width=1024,
+                                  depth=24, heads=16, ln_eps=1e-6),
+    "vit_base_patch16_384": dict(img_size=384, patch_size=16, width=768,
+                                 depth=12, heads=12, ln_eps=1e-6),
+    "vit_base_patch16_224": dict(img_size=224, patch_size=16, width=768,
+                                 depth=12, heads=12, ln_eps=1e-6),
     "vit_base_patch32_224": dict(img_size=224, patch_size=32, width=768,
                                  depth=12, heads=12, ln_eps=1e-6),
+    "vit_small_patch16_224": dict(img_size=224, patch_size=16, width=384,
+                                  depth=12, heads=6, ln_eps=1e-6),
+    "vit_huge_patch14_224": dict(img_size=224, patch_size=14, width=1280,
+                                 depth=32, heads=16, ln_eps=1e-6),
 }
 
 

@@ -8,7 +8,6 @@ loop), re-expressed on the JAX runner.
 """
 from __future__ import annotations
 
-import os
 import sys
 from pathlib import Path
 
