@@ -1,0 +1,47 @@
+"""Benchmark harness + ToMe visualization utilities."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from qa_tiger_tpu.pipeline.vis import generate_colormap, make_visualization
+from qa_tiger_tpu.utils.benchmark import benchmark
+
+
+def test_benchmark_returns_throughput():
+    def fn(x):
+        return x * 2.0
+
+    ips = benchmark(fn, jnp.ones((16, 8)), runs=8, throw_out=0.25,
+                    items_per_call=16)
+    assert ips > 0
+
+
+def test_benchmark_bf16_cast():
+    seen = {}
+
+    def fn(x):
+        seen["dtype"] = x.dtype
+        return x + 1
+
+    benchmark(fn, jnp.ones((4, 4), jnp.float32), runs=4, use_bf16=True)
+    assert seen["dtype"] == jnp.bfloat16
+
+
+def test_visualization_shapes_and_groups():
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    # 4 groups over a 4x4 grid of 8px patches (16 patches + cls column)
+    source = np.zeros((4, 17), np.float32)
+    for patch in range(16):
+        source[patch % 4, patch + 1] = 1.0
+    out = make_visualization(img, source, patch_size=8, class_token=True)
+    assert out.shape == (32, 32, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # different groups produce different tints somewhere
+    assert len(np.unique(out.reshape(-1, 3), axis=0)) > 4
+
+
+def test_colormap_deterministic():
+    np.testing.assert_array_equal(generate_colormap(5, seed=1),
+                                  generate_colormap(5, seed=1))
+    assert generate_colormap(5, 1).shape == (5, 3)
