@@ -87,6 +87,46 @@ def test_train_sh(workdir):
     assert "accuracy" in combined
 
 
+def test_test_sh(workdir, tmp_path):
+    """bash scripts/test.sh CONFIG DEVICE WEIGHT OUT evaluates a checkpoint.
+
+    test.sh forces --n_experts 7 --topK 7 like the reference; the tiny config
+    here uses 3 experts, so the override must visibly take effect (the model
+    builds with 7 experts from random init via strict=False load).
+    """
+    import os
+
+    import qa_tiger_tpu.models.clip_text as ct
+
+    ct.CLIP_TEXT_CONFIGS.setdefault(
+        "tiny-sh", dict(width=32, heads=4, layers=1, embed_dim=32))
+    from qa_tiger_tpu.models.qa_tiger import qa_tiger_config, qa_tiger_init
+    from qa_tiger_tpu.training import save_checkpoint
+
+    cfg = qa_tiger_config(d_model=32, video_dim=32, patch_dim=24,
+                          audio_dim=16, topK=7, num_experts=7,
+                          num_labels=len(ANSWERS), encoder_type="tiny-sh")
+    params = qa_tiger_init(jax.random.PRNGKey(0), cfg)
+    weight = tmp_path / "best.npz"
+    save_checkpoint(params, weight)
+
+    env = dict(os.environ)
+    plats = env.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        env["JAX_PLATFORMS"] = plats + ",cpu"
+    elif not plats:
+        env["JAX_PLATFORMS"] = "cpu"
+    out_dir = tmp_path / "eval"
+    result = subprocess.run(
+        ["bash", "scripts/test.sh", str(workdir / "tiny.py"), "0",
+         str(weight), str(out_dir)],
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=env)
+    combined = result.stdout + result.stderr
+    assert result.returncode == 0, combined[-3000:]
+    results = list(out_dir.glob("*_result.txt"))
+    assert results and "Total avg" in results[0].read_text()
+
+
 def test_load_clip_text_weights(tmp_path):
     import qa_tiger_tpu.models.clip_text as ct
 
