@@ -264,9 +264,11 @@ class AVQARunner:
 
             text_params, _, _ = load_checkpoint(_Path(path))
             text_params = text_params.get("quest_encoder", text_params)
+        # merge into the existing frozen dict — replacing it wholesale would
+        # silently drop any other frozen tower sharing the pytree
+        new_frozen = {**self.frozen, "quest_encoder": text_params}
         self.frozen = jax.device_put(
-            {"quest_encoder": text_params},
-            param_shardings({"quest_encoder": text_params}, self.mesh))
+            new_frozen, param_shardings(new_frozen, self.mesh))
         self.logger.info(f"loaded frozen CLIP text tower from {path}")
 
     def train_state(self, **scalars) -> Dict[str, Any]:

@@ -168,6 +168,33 @@ class TestEndToEnd:
             np.asarray(params["head"]["weight"]),
             merged["head"]["weight"])
 
+    def test_load_clip_text_weights_merges_other_frozen(self, tmp_path):
+        """Regression: loading the CLIP text tower must MERGE into the frozen
+        pytree, not replace it — a second frozen prefix has to survive."""
+        from qa_tiger_tpu.training import save_checkpoint
+
+        cfg = tiny_cfg()
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+
+        def init_two_frozen(key, mcfg):
+            params = qa_tiger_init(key, mcfg)
+            params["extra_frozen"] = {"w": jnp.ones((3, 3), jnp.float32)}
+            return params
+
+        mesh = make_mesh(1, devices=jax.devices("cpu"))
+        runner = AVQARunner(cfg, model_cfg, init_two_frozen, qa_tiger_forward,
+                            FROZEN_PREFIXES + ("extra_frozen",),
+                            mesh=mesh, seed=0)
+        assert set(runner.frozen) == {"quest_encoder", "extra_frozen"}
+
+        fresh_text = qa_tiger_init(jax.random.PRNGKey(7), model_cfg)[
+            "quest_encoder"]
+        save_checkpoint({"quest_encoder": fresh_text}, tmp_path / "clip.npz")
+        runner.load_clip_text_weights(str(tmp_path / "clip.npz"))
+        assert set(runner.frozen) == {"quest_encoder", "extra_frozen"}
+        np.testing.assert_array_equal(
+            np.asarray(runner.frozen["extra_frozen"]["w"]), np.ones((3, 3)))
+
     @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
                         reason="needs 8 virtual devices")
     def test_multidevice_matches_single(self):
