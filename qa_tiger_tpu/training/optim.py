@@ -76,43 +76,74 @@ def make_lr_schedule(name: str, base_lr: float, *, epochs: int = 15,
             return base_lr * gamma ** ((epoch - 1) // step_size)
         return sched
     if "cosine" in name_l:
+        # timm CosineLRScheduler(t_initial=epochs, lr_min, warmup_t,
+        # warmup_lr_init=lr_min, warmup_prefix=False, cycle_limit=1,
+        # t_in_epochs=True) as the reference constructs it
+        # (src/trainutils.py:153-168) and steps it with sched.step(epoch) at
+        # epoch END (src/train.py:70): the lr used during epoch e is
+        # timm's _get_lr(e-1), and past the single cycle (t >= t_initial,
+        # i.e. i >= cycle_limit) timm pins the lr to lr_min.
         def sched(epoch: int) -> float:
-            e = epoch - 1
-            if e < warmup_epochs:
-                return min_lr + e * (base_lr - min_lr) / max(warmup_epochs, 1)
+            t = epoch - 1
+            if t < warmup_epochs:
+                return min_lr + t * (base_lr - min_lr) / max(warmup_epochs, 1)
+            if t >= epochs:  # beyond cycle_limit=1 -> lr_min
+                return min_lr
             return min_lr + 0.5 * (base_lr - min_lr) * (
-                1 + math.cos(math.pi * e / epochs))
+                1 + math.cos(math.pi * t / epochs))
         return sched
     raise ValueError(f"unknown schedule {name!r} (use PlateauScheduler for "
                      "ReduceLROnPlateau)")
 
 
 class PlateauScheduler:
-    """torch ReduceLROnPlateau semantics (factor/patience/mode),
-    driven by val accuracy (mode='max') or val loss (mode='min') exactly as
-    the reference steps it (src/train.py:63-67)."""
+    """Exact torch.optim.lr_scheduler.ReduceLROnPlateau semantics — the
+    reference constructs it with torch defaults beyond mode/factor/patience
+    (src/trainutils.py:174-180): threshold=1e-4 in 'rel' mode, cooldown=0,
+    min_lr=0, eps=1e-8 — and steps it with the validation metric
+    (src/train.py:63-67). The rel-threshold matters on near-flat validation
+    curves: a metric must beat best by a 1e-4 relative margin to count as
+    improvement, otherwise the epoch is 'bad'."""
 
     def __init__(self, base_lr: float, mode: str = "min",
                  factor: float = 0.5, patience: int = 5,
-                 min_lr: float = 0.0):
+                 threshold: float = 1e-4, threshold_mode: str = "rel",
+                 cooldown: int = 0, min_lr: float = 0.0, eps: float = 1e-8):
         self.lr = base_lr
         self.mode = mode
         self.factor = factor
         self.patience = patience
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.cooldown = cooldown
+        self.cooldown_counter = 0
         self.min_lr = min_lr
-        self.best: Optional[float] = None
+        self.eps = eps
+        self.best = math.inf if mode == "min" else -math.inf
         self.num_bad = 0
 
+    def _is_better(self, a: float) -> bool:
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return a < self.best * (1.0 - self.threshold)
+            return a < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > self.best * (1.0 + self.threshold)
+        return a > self.best + self.threshold
+
     def step(self, metric: float) -> float:
-        better = (self.best is None
-                  or (self.mode == "min" and metric < self.best)
-                  or (self.mode == "max" and metric > self.best))
-        if better:
+        if self._is_better(metric):
             self.best = metric
             self.num_bad = 0
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.lr = max(self.lr * self.factor, self.min_lr)
-                self.num_bad = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:  # torch skips sub-eps updates
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad = 0
         return self.lr

@@ -89,6 +89,62 @@ class TestSchedules:
         assert s.step(8.0) == 0.5   # 2nd bad epoch -> decay
         assert s.step(11.0) == 0.5  # improvement resets
 
+    @pytest.mark.parametrize("mode", ["min", "max"])
+    @pytest.mark.parametrize("cooldown", [0, 2])
+    def test_plateau_matches_torch_exactly(self, mode, cooldown):
+        """Oracle: torch ReduceLROnPlateau with the reference's construction
+        (src/trainutils.py:174-180 passes mode/factor/patience and leaves
+        threshold/cooldown at torch defaults). Includes a near-flat segment
+        where the 1e-4 rel threshold is the deciding factor."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0 if mode == "min" else 1)
+        # random walk + a long near-flat stretch (sub-threshold improvements)
+        metrics = list(rng.uniform(1.0, 2.0, 20))
+        flat_base = 1.5
+        metrics += [flat_base * (1 - 3e-5 * i) for i in range(25)]
+        metrics += list(rng.uniform(1.0, 2.0, 15))
+
+        m = torch.nn.Linear(2, 2)
+        opt = torch.optim.SGD(m.parameters(), lr=1e-3)
+        ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode=mode, factor=0.5, patience=3, cooldown=cooldown)
+        ours = PlateauScheduler(1e-3, mode=mode, factor=0.5, patience=3,
+                                cooldown=cooldown)
+        for i, v in enumerate(metrics):
+            ref.step(v)
+            lr = ours.step(v)
+            assert lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-12), \
+                f"diverged at step {i} (metric {v})"
+
+    @pytest.mark.parametrize("warmup_t", [0, 2, 5])
+    def test_cosine_matches_timm_formula(self, warmup_t):
+        """Oracle: timm CosineLRScheduler._get_lr with the reference's args
+        (src/trainutils.py:153-168: t_initial=epochs, lr_min,
+        warmup_lr_init=lr_min, warmup_prefix=False, cycle_mul=cycle_decay=1,
+        cycle_limit=1, k_decay=1, t_in_epochs=True), stepped with
+        sched.step(epoch) at epoch end (src/train.py:70) so epoch e trains
+        at _get_lr(e-1). timm itself is not installed; this re-derives the
+        published closed form independently."""
+        import math
+
+        base_lr, lr_min, epochs = 3e-4, 1e-7, 15
+
+        def timm_get_lr(t):
+            if t < warmup_t:
+                return lr_min + t * (base_lr - lr_min) / warmup_t
+            i = t // epochs
+            if i >= 1:  # cycle_limit=1
+                return lr_min
+            t_curr = t - epochs * i
+            return lr_min + 0.5 * (base_lr - lr_min) * (
+                1 + math.cos(math.pi * t_curr / epochs))
+
+        sched = make_lr_schedule("cosine", base_lr, epochs=epochs,
+                                 min_lr=lr_min, warmup_epochs=warmup_t)
+        for epoch in range(1, epochs + 6):  # beyond t_initial too
+            assert sched(epoch) == pytest.approx(timm_get_lr(epoch - 1),
+                                                 rel=1e-12), f"epoch {epoch}"
+
 
 class TestMetrics:
     def test_masked_ce_matches_torch_on_unpadded(self):
