@@ -66,14 +66,28 @@ def infer_clip_config(state_dict: Dict[str, Any]) -> dict:
                text_layers=text_layers, text_heads=text_width // 64,
                vocab_size=shape("token_embedding.weight")[0],
                context_length=shape("positional_embedding")[0])
-    if "visual.conv1.weight" in state_dict:
+    if "visual.layer1.0.conv1.weight" in state_dict:
+        # ModifiedResNet tower (reference clip_base.py:461-476 sniffs the
+        # same keys): stem conv1 out-channels = width//2, attnpool pos embed
+        # gives the 1/32-scale spatial grid
+        vision_width = shape("visual.conv1.weight")[0] * 2
+        counts = tuple(
+            len({k.split(".")[2] for k in state_dict
+                 if k.startswith(f"visual.layer{b}.")}) for b in range(1, 5))
+        grid_sq = shape("visual.attnpool.positional_embedding")[0] - 1
+        grid = int(round(grid_sq ** 0.5))
+        cfg.update(vision_kind="resnet", vision_width=vision_width,
+                   vision_layers=counts, input_resolution=grid * 32,
+                   vision_heads=vision_width * 32 // 64,
+                   vision_output_dim=shape("visual.attnpool.c_proj.weight")[0])
+    elif "visual.conv1.weight" in state_dict:
         conv = shape("visual.conv1.weight")
         vision_width = conv[0]
         patch = conv[-1]
         grid_sq = shape("visual.positional_embedding")[0] - 1
         grid = int(round(grid_sq ** 0.5))
-        cfg.update(vision_width=vision_width, patch_size=patch,
-                   input_resolution=grid * patch,
+        cfg.update(vision_kind="vit", vision_width=vision_width,
+                   patch_size=patch, input_resolution=grid * patch,
                    vision_layers=len({k.split(".")[3] for k in state_dict
                                       if k.startswith("visual.transformer.resblocks.")}),
                    vision_heads=vision_width // 64)

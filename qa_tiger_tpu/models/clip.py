@@ -81,8 +81,14 @@ def clip_forward(text_params: dict, vision_params: dict,
                  encoder_type: str = "ViT-L/14@336px"
                  ) -> Tuple[jax.Array, jax.Array]:
     """Contrastive forward: (logits_per_image, logits_per_text)."""
-    image_features, _ = clip_vision_encode(vision_params, images,
-                                           name=encoder_type)
+    if encoder_type.startswith("RN"):
+        from qa_tiger_tpu.models.clip_resnet import clip_resnet_encode
+
+        image_features, _ = clip_resnet_encode(vision_params, images,
+                                               name=encoder_type)
+    else:
+        image_features, _ = clip_vision_encode(vision_params, images,
+                                               name=encoder_type)
     text_features, _ = clip_text_encode(text_params, text,
                                         encoder_type=encoder_type)
     image_features = image_features / jnp.linalg.norm(

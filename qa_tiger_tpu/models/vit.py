@@ -137,18 +137,31 @@ def vit_forward(params: Params, images: jax.Array, *,
                 name: str = "vit_large_patch16_384",
                 tome_r: Optional[Sequence[int]] = None,
                 prop_attn: bool = True,
-                trace_source: bool = False):
+                trace_source: bool = False,
+                global_pool: bool = False):
     """Forward pass. Returns dict with:
 
     - 'tokens': [B, T_final, width] final-norm token states (cls first) —
       with ``tome_r`` this is the merged-token output the extractor saves
       (minus cls, see ``extract_tome14``'s [60, 14, 1024] layout),
     - 'cls': [B, width] class token,
+    - 'gap': MAE-style global-pooled embedding when ``global_pool`` — the
+      average over non-cls tokens made PROPORTIONAL to merged-token sizes
+      ((x*size)[:,1:].sum(1)/T, ref src/tome/patch/mae.py:50-58), run
+      through ``fc_norm`` when the checkpoint carries one,
     - 'source': token-provenance matrix when trace_source.
+
+    MAE models (ref src/tome/patch/mae.py) are this function with
+    ``global_pool=True, prop_attn=False``. SWAG models
+    (ref src/tome/patch/swag.py) are the default timm path after converting
+    their nn.MultiheadAttention weights with ``swag_state_dict_to_vit`` —
+    the block math (pre-LN, ToMe between attention and MLP, proportional
+    attention, k-mean metric) is identical.
     """
     cfg = vit_config(name)
     heads, ln_eps = cfg["heads"], cfg["ln_eps"]
     x = patch_embed(params["patch_embed"], images, cfg["patch_size"])
+    n_patches = x.shape[1]  # MAE pools by the ORIGINAL patch count
     cls = jnp.broadcast_to(params["cls_token"],
                            (x.shape[0], 1, x.shape[-1])).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
@@ -173,8 +186,60 @@ def vit_forward(params: Params, images: jax.Array, *,
         h = linear(p["mlp"]["fc2"], jax.nn.gelu(linear(p["mlp"]["fc1"], h),
                                                 approximate=False))
         x = x + h
+    pre_norm = x
     x = layer_norm(params["norm"], x, eps=ln_eps)
-    out = {"tokens": x, "cls": x[:, 0]}
+    out = {"tokens": x, "cls": x[:, 0], "size": size,
+           "tokens_pre_norm": pre_norm}
+    if global_pool:
+        # MAE forward_features global_pool branch (src/tome/patch/mae.py:
+        # 50-61): pool the PRE-norm states; merged tokens contribute in
+        # proportion to how many originals they absorbed
+        if size is not None:
+            gap = (pre_norm * size)[:, 1:, :].sum(axis=1) / n_patches
+        else:
+            gap = pre_norm[:, 1:, :].mean(axis=1)
+        if "fc_norm" in params:
+            gap = layer_norm(params["fc_norm"], gap, eps=ln_eps)
+        out["gap"] = gap
     if trace_source:
         out["source"] = source
     return out
+
+
+def swag_state_dict_to_vit(state_dict) -> Params:
+    """Convert a SWAG (torchvision-style) ViT state_dict into this module's
+    timm-named pytree. SWAG's blocks use nn.MultiheadAttention
+    (in_proj_weight/in_proj_bias/out_proj — the same packed-qkv layout as
+    timm's attn.qkv/attn.proj) and torchvision MLP indices (mlp.0/mlp.3);
+    after renaming, the block math is identical, so the reference's entire
+    swag ToMe patch (src/tome/patch/swag.py:23-101) reduces to
+    ``vit_forward`` on the converted weights.
+    """
+    import numpy as np
+
+    from qa_tiger_tpu.convert.torch_import import flat_to_nested
+
+    flat = {}
+    for key, value in state_dict.items():
+        v = np.asarray(value, dtype=np.float32)
+        k = key
+        k = k.replace("conv_proj.", "patch_embed.proj.")
+        k = k.replace("class_token", "cls_token")
+        k = k.replace("encoder.pos_embedding", "pos_embed")
+        k = k.replace("encoder.ln.", "norm.")
+        if k.startswith("encoder.layers.encoder_layer_"):
+            rest = k[len("encoder.layers.encoder_layer_"):]
+            idx, _, tail = rest.partition(".")
+            tail = (tail
+                    .replace("ln_1.", "norm1.")
+                    .replace("ln_2.", "norm2.")
+                    .replace("self_attention.in_proj_weight", "attn.qkv.weight")
+                    .replace("self_attention.in_proj_bias", "attn.qkv.bias")
+                    .replace("self_attention.out_proj.", "attn.proj.")
+                    .replace("mlp.0.", "mlp.fc1.")
+                    .replace("mlp.3.", "mlp.fc2.")
+                    .replace("mlp.linear_1.", "mlp.fc1.")
+                    .replace("mlp.linear_2.", "mlp.fc2."))
+            k = f"blocks.{idx}.{tail}"
+        flat[k] = v
+    return flat_to_nested(flat)

@@ -84,10 +84,27 @@ def stub_missing_reference_deps() -> None:
     sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     _stub_module("ftfy", fix_text=_identity)
-    _stub_module("timm", create_model=_identity)
+    if "timm" not in sys.modules:
+        timm_mod = types.ModuleType("timm")
+        timm_mod.__path__ = []  # package, so timm.models.* resolves to stubs
+        timm_mod.create_model = _identity
+        sys.modules["timm"] = timm_mod
     _stub_module("timm.data",
                  IMAGENET_DEFAULT_MEAN=(0.485, 0.456, 0.406),
                  IMAGENET_DEFAULT_STD=(0.229, 0.224, 0.225))
+    _stub_module("timm.models")
+    # distinct placeholder classes: the reference's tome patches subclass
+    # and isinstance-check these (src/tome/patch/{timm,mae}.py)
+    import torch as _torch
+
+    _stub_module("timm.models.vision_transformer",
+                 Attention=type("Attention", (_torch.nn.Module,), {}),
+                 Block=type("Block", (_torch.nn.Module,), {}),
+                 VisionTransformer=type("VisionTransformer",
+                                        (_torch.nn.Module,), {}))
+    sys.modules["timm"].models = sys.modules["timm.models"]
+    sys.modules["timm.models"].vision_transformer = \
+        sys.modules["timm.models.vision_transformer"]
     _stub_module("resampy", resample=_identity)
     _stub_module("soundfile", read=_identity, write=_identity)
 

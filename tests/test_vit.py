@@ -166,3 +166,115 @@ class TestToMeViT:
         out = fwd(params, imgs)
         assert out.shape == (1, 14, 32)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestSwagMaeVariants:
+    """SWAG/MAE ToMe patch equivalents (ref src/tome/patch/swag.py, mae.py):
+    in JAX these are a weight-layout converter + a pooling mode, because
+    vit_forward's block math already matches both patched architectures."""
+
+    def test_swag_tome_attention_parity(self):
+        """Reference swag.ToMeAttention (nn.MultiheadAttention layout,
+        proportional attention, k-mean metric; swag.py:65-101) vs our
+        _attention after the in_proj->qkv renaming."""
+        ref_swag = load_reference_module("src/tome/patch/swag.py",
+                                         "ref_tome_swag")
+        torch.manual_seed(0)
+        attn = ref_swag.ToMeAttention(embed_dim=64, num_heads=4).eval()
+        x = RNG.standard_normal((2, 7, 64), dtype=np.float32)
+        size = np.abs(RNG.standard_normal((2, 7, 1))).astype(np.float32) + 0.5
+        with torch.no_grad():
+            t_out, t_metric = attn(torch.tensor(x), torch.tensor(size))
+        p = {
+            "qkv": {"weight": jnp.asarray(attn.in_proj_weight.detach().numpy()),
+                    "bias": jnp.asarray(attn.in_proj_bias.detach().numpy())},
+            "proj": {"weight": jnp.asarray(attn.out_proj.weight.detach().numpy()),
+                     "bias": jnp.asarray(attn.out_proj.bias.detach().numpy())},
+        }
+        j_out, j_metric = vit._attention(p, jnp.asarray(x), 4,
+                                         jnp.asarray(size), 1e-6)
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   rtol=1e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(j_metric), t_metric.numpy(),
+                                   rtol=1e-4, atol=3e-5)
+
+    def test_mae_global_pool_formula(self, monkeypatch):
+        """gap == the reference's (x*size)[:,1:].sum(1)/T -> fc_norm
+        (mae.py:50-61), evaluated in torch on the same states."""
+        monkeypatch.setitem(
+            vit.VIT_CONFIGS, "tiny-mae",
+            dict(img_size=32, patch_size=8, width=64, depth=3, heads=4,
+                 ln_eps=1e-6))
+        params = vit.vit_init(jax.random.PRNGKey(0), "tiny-mae")
+        params["fc_norm"] = {"weight": jnp.asarray(
+            RNG.standard_normal(64, dtype=np.float32)),
+            "bias": jnp.asarray(RNG.standard_normal(64, dtype=np.float32))}
+        imgs = jnp.asarray(RNG.standard_normal((2, 32, 32, 3),
+                                               dtype=np.float32))
+        out = vit.vit_forward(params, imgs, name="tiny-mae", tome_r=[2, 2, 0],
+                              prop_attn=False, global_pool=True)
+        x = torch.tensor(np.asarray(out["tokens_pre_norm"]))
+        sz = torch.tensor(np.asarray(out["size"]))
+        T = 16  # (32/8)^2 original patches
+        expected = (x * sz)[:, 1:, :].sum(dim=1) / T
+        ln = torch.nn.LayerNorm(64, eps=1e-6)
+        with torch.no_grad():
+            ln.weight.copy_(torch.tensor(np.asarray(params["fc_norm"]["weight"])))
+            ln.bias.copy_(torch.tensor(np.asarray(params["fc_norm"]["bias"])))
+            expected = ln(expected)
+        np.testing.assert_allclose(np.asarray(out["gap"]), expected.numpy(),
+                                   rtol=1e-4, atol=3e-5)
+        # unmerged fallback: plain mean over non-cls tokens
+        out2 = vit.vit_forward(params, imgs, name="tiny-mae",
+                               prop_attn=False, global_pool=True)
+        x2 = torch.tensor(np.asarray(out2["tokens_pre_norm"]))
+        with torch.no_grad():
+            exp2 = ln(x2[:, 1:, :].mean(dim=1))
+        np.testing.assert_allclose(np.asarray(out2["gap"]), exp2.numpy(),
+                                   rtol=1e-4, atol=3e-5)
+
+    def test_swag_state_dict_converter(self, monkeypatch):
+        """torchvision/SWAG-named state_dict -> timm-named pytree accepted
+        by vit_forward (structure identical to vit_init's)."""
+        monkeypatch.setitem(
+            vit.VIT_CONFIGS, "tiny-swag",
+            dict(img_size=32, patch_size=8, width=64, depth=2, heads=4,
+                 ln_eps=1e-6))
+        w, depth, p = 64, 2, 8
+        rng = np.random.default_rng(3)
+        sd = {
+            "class_token": rng.standard_normal((1, 1, w)),
+            "conv_proj.weight": rng.standard_normal((w, 3, p, p)),
+            "conv_proj.bias": rng.standard_normal(w),
+            "encoder.pos_embedding": rng.standard_normal((1, 17, w)),
+            "encoder.ln.weight": rng.standard_normal(w),
+            "encoder.ln.bias": rng.standard_normal(w),
+        }
+        for i in range(depth):
+            pre = f"encoder.layers.encoder_layer_{i}."
+            sd.update({
+                pre + "ln_1.weight": rng.standard_normal(w),
+                pre + "ln_1.bias": rng.standard_normal(w),
+                pre + "self_attention.in_proj_weight":
+                    rng.standard_normal((3 * w, w)),
+                pre + "self_attention.in_proj_bias": rng.standard_normal(3 * w),
+                pre + "self_attention.out_proj.weight":
+                    rng.standard_normal((w, w)),
+                pre + "self_attention.out_proj.bias": rng.standard_normal(w),
+                pre + "ln_2.weight": rng.standard_normal(w),
+                pre + "ln_2.bias": rng.standard_normal(w),
+                pre + "mlp.0.weight": rng.standard_normal((4 * w, w)),
+                pre + "mlp.0.bias": rng.standard_normal(4 * w),
+                pre + "mlp.3.weight": rng.standard_normal((w, 4 * w)),
+                pre + "mlp.3.bias": rng.standard_normal(w),
+            })
+        params = vit.swag_state_dict_to_vit(sd)
+        want = vit.vit_init(jax.random.PRNGKey(0), "tiny-swag")
+        flat_got = jax.tree_util.tree_structure(params)
+        flat_want = jax.tree_util.tree_structure(want)
+        assert flat_got == flat_want
+        out = vit.vit_forward(
+            params, jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(
+                np.float32)), name="tiny-swag", tome_r=[2, 2])
+        assert out["tokens"].shape == (1, 13, w)
+        assert np.all(np.isfinite(np.asarray(out["tokens"])))
