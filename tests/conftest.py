@@ -107,6 +107,10 @@ def stub_missing_reference_deps() -> None:
         sys.modules["timm.models.vision_transformer"]
     _stub_module("resampy", resample=_identity)
     _stub_module("soundfile", read=_identity, write=_identity)
+    # the reference's config plumbing uses python-box; our Box is compatible
+    from qa_tiger_tpu.utils import Box as _Box
+
+    _stub_module("box", Box=_Box)
 
 
 def load_reference_module(relpath: str, name: str):
