@@ -32,10 +32,12 @@ WARMUP_ITERS = 3
 BENCH_ITERS = 20
 EVAL_DTYPE = "bfloat16"  # the BASELINE bf16 jitted-eval configuration
 TORCH_BATCH = 32
-TORCH_ITERS = 2
+TORCH_ITERS = 6
+REPEATS = 3  # timed repetitions; report the median for tunnel-noise immunity
 # torch-CPU qa-pairs/sec on this image's single-core host, measured via the
-# live path below; used only if the reference tree is unavailable.
-FALLBACK_TORCH_QPS = 6.0
+# live path below (3-4 qa/s across runs); used only if the reference tree is
+# unavailable.
+FALLBACK_TORCH_QPS = 3.5
 
 
 def _batch(rng, b):
@@ -78,12 +80,14 @@ def bench_jax() -> float:
     np.asarray(fwd(params, batch))
     for _ in range(WARMUP_ITERS):
         np.asarray(fwd(params, batch))
-    start = time.perf_counter()
-    for _ in range(BENCH_ITERS):
-        out = fwd(params, batch)
-    np.asarray(out)
-    elapsed = time.perf_counter() - start
-    return BATCH * BENCH_ITERS / elapsed
+    rates = []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        for _ in range(BENCH_ITERS):
+            out = fwd(params, batch)
+        np.asarray(out)
+        rates.append(BATCH * BENCH_ITERS / (time.perf_counter() - start))
+    return float(np.median(rates))
 
 
 def bench_torch_reference() -> float | None:
@@ -140,11 +144,12 @@ def bench_torch_reference() -> float | None:
         tb = {k: torch.tensor(v) for k, v in b.items()}
         with torch.no_grad():
             model(tb)  # warmup
-            start = time.perf_counter()
+            times = []
             for _ in range(TORCH_ITERS):
+                start = time.perf_counter()
                 model(tb)
-            elapsed = time.perf_counter() - start
-        return TORCH_BATCH * TORCH_ITERS / elapsed
+                times.append(time.perf_counter() - start)
+        return TORCH_BATCH / float(np.median(times))
     except Exception as exc:  # pragma: no cover
         print(f"# torch baseline failed: {exc}", file=sys.stderr)
         return None

@@ -340,14 +340,33 @@ def patch_selecter_init(key: jax.Array, d_model: int) -> Params:
 
 def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
                    video: jax.Array, *, nhead: int = 8, dropout_p: float = 0.1,
-                   train: bool = False, rng: Optional[jax.Array] = None
-                   ) -> List[jax.Array]:
+                   train: bool = False, rng: Optional[jax.Array] = None,
+                   use_fused: bool = True) -> List[jax.Array]:
     """Per-frame audio/video-guided patch summarization (ref 656-716).
 
-    All T frames are processed as one B*T batch of attention problems —
-    identical to the reference's reshape, and exactly the kind of big batched
-    matmul the MXU wants. Returns [a_patch, v_patch], each [B, T, D].
+    Eval path on TPU runs the whole module as ONE fused Pallas kernel
+    (ops/pallas/patch_select.py) — separate XLA ops round-trip every
+    intermediate through HBM and the tiny [*, 14, 64] attention layouts
+    waste most of each VMEM tile. Train mode (attention-prob dropout) and
+    non-TPU backends use the jnp path below; gradients always rematerialize
+    through it. Returns [a_patch, v_patch], each [B, T, D].
     """
+    if use_fused and not (train and dropout_p > 0.0 and rng is not None):
+        from qa_tiger_tpu.ops.pallas.patch_select import fused_patch_select
+
+        a_final, v_final = fused_patch_select(patch, audio, video, params,
+                                              nhead)
+        return [a_final, v_final]
+    return patch_selecter_jnp(params, patch, audio, video, nhead=nhead,
+                              dropout_p=dropout_p, train=train, rng=rng)
+
+
+def patch_selecter_jnp(params: Params, patch: jax.Array, audio: jax.Array,
+                       video: jax.Array, *, nhead: int = 8,
+                       dropout_p: float = 0.1, train: bool = False,
+                       rng: Optional[jax.Array] = None) -> List[jax.Array]:
+    """The XLA-composed PatchSelecter: all T frames as one B*T batch of
+    attention problems — identical to the reference's reshape."""
     B, T, P, D = patch.shape
     patch_bt = patch.reshape(B * T, P, D)
     audio_bt = audio.reshape(B * T, 1, D)

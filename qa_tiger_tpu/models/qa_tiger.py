@@ -114,10 +114,11 @@ def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
     audio, video = M.avq_cross_attn(
         params["crs_attn"], audio, video, words, nhead=nhead, dropout_p=dp,
         train=train, rng=next_rng(rng, 1))
+    use_fused = cfg.get("use_fused", True)
     patch_pair = M.patch_selecter(
         params["patch_selecter"], patch, audio, video, nhead=nhead,
-        dropout_p=dp, train=train, rng=next_rng(rng, 2))
-    use_fused = cfg.get("use_fused", True)
+        dropout_p=dp, train=train, rng=next_rng(rng, 2),
+        use_fused=use_fused)
     a_global = M.temp_moe(
         params["at_aggregator"], quest, audio, None, nhead=nhead,
         topK=cfg["topK"], n_experts=cfg["num_experts"], sigma=cfg["sigma"],

@@ -104,24 +104,20 @@ def mha(params: Params,
         v = (jnp.matmul(value, w_v.T, preferred_element_type=matmul_pref(dt))
              + b_v.astype(matmul_pref(dt))).astype(dt)
 
+    scale = 1.0 / math.sqrt(head_dim)
+
+    if not need_weights and (not train or dropout_p == 0.0 or rng is None):
+        # heads-in-lanes kernel: q/k/v stay in their dense [B, S, D] layout
+        # (no head transposes, no padded [B*H, S, 64] HBM tensors)
+        from qa_tiger_tpu.ops.pallas.attention import attention_wide
+
+        ctx = attention_wide(q, k, v, attn_mask, scale, num_heads)
+        return linear(params["out_proj"], ctx), None
+
     # [B, H, S, hd]
     q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    scale = 1.0 / math.sqrt(head_dim)
-
-    if not need_weights and (not train or dropout_p == 0.0 or rng is None):
-        from qa_tiger_tpu.ops.pallas.attention import fused_attention
-
-        ctx = fused_attention(
-            q.reshape(B * num_heads, Sq, head_dim),
-            k.reshape(B * num_heads, Sk, head_dim),
-            v.reshape(B * num_heads, Sk, head_dim),
-            attn_mask, scale)
-        ctx = ctx.reshape(B, num_heads, Sq, head_dim)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
-        return linear(params["out_proj"], ctx), None
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )

@@ -30,7 +30,9 @@ try:
 except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
-DEFAULT_BH_TILE = 32  # ~1 MB of VMEM tiles at S=77, dh=64; amortizes grid overhead
+DEFAULT_BH_TILE = 64  # ~2 MB of VMEM tiles at S=77, dh=64; measured fastest
+# on v5e for the text tower's [3072, 77, 64] masked attention (128 OOMs the
+# 16 MB scoped vmem at S=77)
 
 
 def _reference_impl(q, k, v, mask, scale):
@@ -61,9 +63,84 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, g, sq, sk):
+    """Block-diagonal packed attention for tiny sequences.
+
+    A [*, 14, 64] attention problem is hopeless for the MXU (128x128
+    systolic tiles) and for the (16, 128) bf16 VMEM tiling — >85% of every
+    tile is padding. The caller packs ``g`` batch elements along the
+    sequence axis (a free reshape in HBM), so each block row is one
+    [g*Sq, dh] x [dh, g*Sk] matmul with a static block-diagonal -inf mask:
+    full MXU tiles, and exp(-inf) = 0 keeps the math EXACTLY per-element
+    softmax(qk)v. Dots stay in the activation dtype (bf16 in, fp32
+    accumulate) — upcasting inputs would force the 4x-slower fp32 MXU mode.
+    """
+    q = q_ref[:]   # [r, g*Sq, dh]
+    k = k_ref[:]   # [r, g*Sk, dh]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale    # [r, g*Sq, g*Sk]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g * sq, g * sk), 0) // sq
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g * sq, g * sk), 1) // sk
+    s = jnp.where((rows == cols)[None], s, -jnp.inf)
+    s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    e = jnp.exp(s)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    out = jax.lax.dot_general(
+        p, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [r, g*Sq, dh]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+# pack so g*max(Sq,Sk) lands near two 128-lane MXU tiles; grid rows = r
+PACK_MAX_S = 16
+PACK_G = 16
+PACK_R = 16
+
+
+def _packed_pallas_impl(q, k, v, scale, interpret):
+    BH, Sq, dh = q.shape
+    Sk = k.shape[1]
+    g = PACK_G
+    pad = (-BH) % (g * PACK_R)
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+    # free views: consecutive g elements share one packed attention problem
+    n_packs = q.shape[0] // g
+    qp = q.reshape(n_packs, g * Sq, dh)
+    kp = k.reshape(n_packs, g * Sk, dh)
+    vp = v.reshape(n_packs, g * Sk, dh)
+    n = n_packs // PACK_R
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, g=g, sq=Sq, sk=Sk),
+        out_shape=jax.ShapeDtypeStruct((n_packs, g * Sq, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((PACK_R, g * Sq, dh), lambda i: (i, 0, 0)),
+                pl.BlockSpec((PACK_R, g * Sk, dh), lambda i: (i, 0, 0)),
+                pl.BlockSpec((PACK_R, g * Sk, dh), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((PACK_R, g * Sq, dh), lambda i: (i, 0, 0))),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * g * Sq * Sk * dh,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=BH * g * Sq * Sk,
+        ),
+    )(qp, kp, vp)
+    out = out.reshape(-1, Sq, dh)
+    return out[:BH] if pad else out
+
+
 def _pallas_impl(q, k, v, mask, scale, bh_tile, interpret):
     BH, Sq, dh = q.shape
     Sk = k.shape[1]
+    if (mask is None and Sq <= PACK_MAX_S and Sk <= PACK_MAX_S
+            and BH >= PACK_G * PACK_R):
+        return _packed_pallas_impl(q, k, v, scale, interpret)
     tile = min(bh_tile, BH)
     pad = (-BH) % tile
     if pad:
@@ -120,6 +197,161 @@ def fused_attention(q: jax.Array,   # [BH, Sq, dh]
     if mask is None:
         return _fa_nomask(q, k, v, scale, bh_tile, interpret)
     return _fa_masked(q, k, v, mask, scale, bh_tile, interpret)
+
+
+def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
+    """Heads-in-lanes packed attention.
+
+    Blocks arrive in the model's dense [r, g*Sq, W] / [r, g*Sk, W] layout
+    (W = heads * dh lanes — full VMEM tiles, no transposes, no padded
+    [B*H, S, dh] tensors in HBM). Heads are lane-slices; g batch elements
+    share one packed score matrix with mask_ref carrying both the
+    block-diagonal -inf structure and any within-element additive mask
+    (e.g. causal) — built once outside, constant across the grid.
+    """
+    r, gsq, W = q_ref.shape
+    hd = W // heads
+    mask = mask_ref[0]                                    # [g*Sq, g*Sk]
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    ctxs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd]
+        kh = k[:, :, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [r, gSq, gSk]
+        s = s + mask
+        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        ctxs.append(jax.lax.dot_general(
+            p, v[:, :, h * hd:(h + 1) * hd], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype))
+    out_ref[:] = jnp.concatenate(ctxs, axis=-1)
+
+
+def _wide_sizes(B, Sq, Sk, W, itemsize):
+    """Pick (g = elements per packed problem, r = problems per grid step).
+
+    g*max(Sq,Sk) lands near 256 rows (2 MXU tiles) without exploding the
+    packed-FLOP blowup; r then sizes the grid step to fit the 16 MB scoped
+    VMEM budget (blocks are double-buffered, scores are fp32)."""
+    g = max(1, min(B, 256 // max(Sq, Sk)))
+    while B % g:
+        g -= 1
+    budget = 8 * 1024 * 1024
+    per_r = (2 * g * (2 * Sq + 2 * Sk) * W * itemsize  # q,k,v,out x2 buf
+             + g * g * Sq * Sk * 4)                    # fp32 score tile
+    r = max(1, min(B // g, 8, budget // max(per_r, 1)))
+    while (B // g) % r:
+        r -= 1
+    return g, r
+
+
+def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
+                         k: jax.Array,   # [B, Sk, W]
+                         v: jax.Array,   # [B, Sk, W]
+                         mask: Optional[jax.Array],  # [Sq, Sk] additive
+                         scale: float,
+                         heads: int,
+                         interpret: Optional[bool] = None) -> jax.Array:
+    """Multi-head attention without ever materializing per-head layouts.
+
+    The [B*H, S, 64] form the classic kernel wants pads every (16, 128)
+    VMEM tile to >2x its payload and costs three transposes in HBM; here
+    q/k/v stay [B, S, W] end to end.
+    """
+    B, Sq, W = q.shape
+    Sk = k.shape[1]
+    g, r = _wide_sizes(B, Sq, Sk, W, q.dtype.itemsize)
+    block_diag = jnp.kron(jnp.eye(g, dtype=jnp.float32),
+                          jnp.ones((Sq, Sk), jnp.float32)) > 0.5
+    base = jnp.where(block_diag, 0.0, -jnp.inf).astype(jnp.float32)
+    if mask is not None:
+        base = base + jnp.where(
+            jnp.isneginf(base), 0.0,
+            jnp.tile(mask.astype(jnp.float32), (g, g)))
+    qp = q.reshape(B // g, g * Sq, W)
+    kp = k.reshape(B // g, g * Sk, W)
+    vp = v.reshape(B // g, g * Sk, W)
+    n = (B // g) // r
+    out = pl.pallas_call(
+        functools.partial(_wide_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B // g, g * Sq, W), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0)),
+                pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
+                pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, g * Sq, g * Sk), lambda i: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0))),
+        interpret=bool(interpret),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * g * Sq * Sk * W,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * g * Sq * Sk,
+        ),
+    )(qp, kp, vp, base[None])
+    return out.reshape(B, Sq, W)
+
+
+def attention_wide(q, k, v, mask, scale, heads,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """Dispatcher: wide Pallas kernel on TPU (batch divisible into packs),
+    plain einsum reference elsewhere. Differentiable (VJP rematerializes
+    through the einsum formulation)."""
+    B = q.shape[0]
+    # below ~4k query rows the fused kernel's launch overhead loses to the
+    # plain einsum (measured on v5e: qst-attn/grounding Sq=1 cases)
+    enough_work = B * q.shape[1] >= 4096 if interpret is None else True
+    usable = (_HAVE_PLTPU and B >= 2 and enough_work
+              and (interpret or (interpret is None and _on_tpu(q))))
+    if not usable:
+        return _wide_reference(q, k, v, mask, scale, heads)
+    return _aw(q, k, v, mask if mask is not None else None, scale, heads,
+               bool(interpret))
+
+
+def _wide_reference(q, k, v, mask, scale, heads):
+    B, Sq, W = q.shape
+    Sk = k.shape[1]
+    hd = W // heads
+    q4 = q.reshape(B, Sq, heads, hd)
+    k4 = k.reshape(B, Sk, heads, hd)
+    v4 = v.reshape(B, Sk, heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q4, k4,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v4,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return ctx.reshape(B, Sq, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _aw(q, k, v, mask, scale, heads, interpret):
+    return fused_attention_wide(q, k, v, mask, scale, heads, interpret)
+
+
+def _aw_fwd(q, k, v, mask, scale, heads, interpret):
+    return fused_attention_wide(q, k, v, mask, scale, heads, interpret), \
+        (q, k, v, mask)
+
+
+def _aw_bwd(scale, heads, interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _wide_reference(q, k, v, mask, scale, heads), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_aw.defvjp(_aw_fwd, _aw_bwd)
 
 
 def _on_tpu(x) -> bool:

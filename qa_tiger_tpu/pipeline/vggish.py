@@ -72,8 +72,12 @@ def vggish_init(key: jax.Array) -> Params:
 
 
 def _conv(p: Params, x: jax.Array) -> jax.Array:
+    # log-mel input stays fp32; under bf16 params run the conv in the param
+    # dtype (the mel frontend's dynamic range needs fp32, the conv net's
+    # doesn't)
+    w = p["weights"]
     y = jax.lax.conv_general_dilated(
-        x, p["weights"], window_strides=(1, 1), padding="SAME",
+        x.astype(w.dtype), w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return jax.nn.relu(y + p["biases"])
 

@@ -1,0 +1,141 @@
+"""Parity for the fused attention kernels added in round 2:
+
+- attention_wide / fused_attention_wide: heads-in-lanes packed attention
+  (q/k/v stay [B, S, W]; block-diagonal -inf packing; optional causal mask)
+- fused_patch_select: the whole PatchSelecter module as one kernel
+
+All Pallas checks run in interpret mode pinned to CPU (exact fp32); the TPU
+lowering is exercised by bench.py / the runner on real chips."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qa_tiger_tpu.models import modules as M
+from qa_tiger_tpu.models.qa_tiger import qa_tiger_config, qa_tiger_init
+from qa_tiger_tpu.ops.pallas.attention import (
+    _wide_reference,
+    attention_wide,
+    fused_attention_wide,
+)
+from qa_tiger_tpu.ops.pallas.patch_select import fused_patch_select
+
+RNG = np.random.default_rng(0)
+
+
+def _qkv(b, sq, sk, w):
+    return (jnp.asarray(RNG.standard_normal((b, sq, w)).astype(np.float32)),
+            jnp.asarray(RNG.standard_normal((b, sk, w)).astype(np.float32)),
+            jnp.asarray(RNG.standard_normal((b, sk, w)).astype(np.float32)))
+
+
+class TestWideAttention:
+    @pytest.mark.parametrize("b,sq,sk,w,h", [
+        (8, 77, 77, 64, 4),    # text-tower shape class
+        (12, 1, 60, 32, 4),    # MoE router / grounding shape class
+        (6, 60, 77, 64, 8),    # AVQ cross attention shape class
+        (5, 14, 14, 32, 4),    # patch shape class (odd batch)
+        (2, 3, 5, 16, 2),      # degenerate tiny
+    ])
+    def test_parity_no_mask(self, b, sq, sk, w, h):
+        q, k, v = _qkv(b, sq, sk, w)
+        got = fused_attention_wide(q, k, v, None, 0.2, h, interpret=True)
+        want = _wide_reference(q, k, v, None, 0.2, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_parity_causal_mask(self):
+        q, k, v = _qkv(8, 77, 77, 64)
+        mask = jnp.triu(jnp.full((77, 77), -jnp.inf, jnp.float32), 1)
+        got = fused_attention_wide(q, k, v, mask, 0.125, 4, interpret=True)
+        want = _wide_reference(q, k, v, mask, 0.125, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_reference(self):
+        q, k, v = _qkv(4, 14, 14, 32)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(attention_wide(q, k, v, None, 0.2, 4,
+                                          interpret=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_wide_reference(q, k, v, None, 0.2, 4) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_dispatcher_falls_back_off_tpu(self):
+        # on CPU (no interpret flag) the dispatcher must use the einsum path
+        q, k, v = _qkv(4, 8, 8, 32)
+        got = attention_wide(q, k, v, None, 0.2, 4)
+        want = _wide_reference(q, k, v, None, 0.2, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+class TestFusedPatchSelect:
+    def _setup(self, B=3, T=5, P=14, D=64):
+        cfg = qa_tiger_config(d_model=D, video_dim=D, patch_dim=48,
+                              audio_dim=32)
+        params = qa_tiger_init(jax.random.PRNGKey(0), cfg,
+                               init_text_encoder=False)["patch_selecter"]
+        patch = jnp.asarray(RNG.standard_normal((B, T, P, D)).astype(np.float32))
+        audio = jnp.asarray(RNG.standard_normal((B, T, D)).astype(np.float32))
+        video = jnp.asarray(RNG.standard_normal((B, T, D)).astype(np.float32))
+        return params, patch, audio, video
+
+    def test_parity_vs_jnp_module(self):
+        params, patch, audio, video = self._setup()
+        a_ref, v_ref = M.patch_selecter_jnp(params, patch, audio, video,
+                                            nhead=8)
+        a_f, v_f = fused_patch_select(patch, audio, video, params, 8, 4, True)
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_ref),
+                                   rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
+                                   rtol=1e-5, atol=2e-6)
+
+    def test_ragged_tile_padding(self):
+        # B*T = 15 not divisible by tile=4 -> pad path
+        params, patch, audio, video = self._setup(B=3, T=5)
+        a_ref, v_ref = M.patch_selecter_jnp(params, patch, audio, video,
+                                            nhead=8)
+        a_f, v_f = fused_patch_select(patch, audio, video, params, 8, 4, True)
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_ref),
+                                   rtol=1e-5, atol=2e-6)
+
+    def test_gradients_flow_through_vjp(self):
+        params, patch, audio, video = self._setup(B=2, T=3)
+
+        def loss(pt, pr):
+            a, v = fused_patch_select(pt, audio, video, pr, 8, 4, True)
+            return jnp.sum(a ** 2) + jnp.sum(v ** 2)
+
+        g_pt, g_pr = jax.grad(loss, argnums=(0, 1))(patch, params)
+
+        def loss_ref(pt, pr):
+            a, v = M.patch_selecter_jnp(pr, pt, audio, video, nhead=8)
+            return jnp.sum(a ** 2) + jnp.sum(v ** 2)
+
+        r_pt, r_pr = jax.grad(loss_ref, argnums=(0, 1))(patch, params)
+        # cotangents come from the FUSED forward's outputs (~1e-6 off the
+        # jnp forward), so gradients agree to that level, not exactly
+        np.testing.assert_allclose(np.asarray(g_pt), np.asarray(r_pt),
+                                   rtol=2e-3, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g_pr),
+                        jax.tree_util.tree_leaves(r_pr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-4)
+
+    def test_module_dispatch_train_uses_jnp_path(self):
+        """train + dropout must not hit the fused kernel (dropout on
+        attention probs only exists on the jnp path)."""
+        params, patch, audio, video = self._setup(B=2, T=3)
+        out = M.patch_selecter(params, patch, audio, video, nhead=8,
+                               dropout_p=0.1, train=True,
+                               rng=jax.random.PRNGKey(0), use_fused=True)
+        assert out[0].shape == (2, 3, 64)
+        assert np.all(np.isfinite(np.asarray(out[0])))
