@@ -154,6 +154,7 @@ class AVQADataset:
             "label": np.int32(self.answer_to_ix[sample["anser"]]),
             "qtype_label": np.int32(qtype_index(sample["type"])),
             "name": name,
+            "qid": np.int64(sample.get("question_id", -1)),
         }
 
         if self.quest_feat is not None:
@@ -237,6 +238,8 @@ class BatchLoader:
             batch["qtype_label"] = np.array(
                 [qtype_index(s["type"]) for s in samples], np.int32)
             batch["name"] = np.array(names)
+            batch["qid"] = np.array(
+                [int(s.get("question_id", -1)) for s in samples], np.int64)
             if ds.quest_feat is not None:
                 quests = [ds._load_npy(ds.quest_feat,
                                        str(int(s["question_id"])))

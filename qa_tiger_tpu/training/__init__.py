@@ -13,6 +13,8 @@ from qa_tiger_tpu.training.checkpoint import (
     load_checkpoint,
     save_train_state,
     load_train_state,
+    save_train_state_async,
+    wait_for_async_saves,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "load_checkpoint",
     "save_train_state",
     "load_train_state",
+    "save_train_state_async",
+    "wait_for_async_saves",
 ]

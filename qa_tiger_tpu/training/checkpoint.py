@@ -77,6 +77,41 @@ def save_train_state_orbax(state: Dict[str, Any], path: str | Path) -> None:
         )
 
 
+_ASYNC_CKPTR = None
+
+
+def save_train_state_async(state: Dict[str, Any], path: str | Path) -> None:
+    """Non-blocking orbax save: the device->host transfer happens eagerly but
+    serialization to disk runs in a background thread, so the train loop
+    resumes immediately (the reference blocks on torch.save each epoch). At
+    most one save is in flight; call :func:`wait_for_async_saves` before
+    process exit (src/train.py does)."""
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    meta = {k: v for k, v in state.items()
+            if k not in ("params", "opt_state")}
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+    _ASYNC_CKPTR.wait_until_finished()
+    _ASYNC_CKPTR.save(
+        path,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardSave(state["params"]),
+            opt_state=ocp.args.StandardSave(state["opt_state"]),
+            meta=ocp.args.JsonSave(meta),
+        ),
+        force=True,
+    )
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def load_train_state_orbax(path: str | Path, template: Dict[str, Any]
                            ) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
@@ -121,8 +156,13 @@ def save_train_state(state: Dict[str, Any], path: str | Path) -> None:
 
 def load_train_state(path: str | Path, template: Dict[str, Any]
                      ) -> Dict[str, Any]:
-    """Restore a full train state using ``template`` for pytree structure."""
+    """Restore a full train state using ``template`` for pytree structure.
+
+    Auto-detects format: orbax layout (written by save_train_state_orbax /
+    save_train_state_async) or the dependency-free .npz layout."""
     path = Path(path)
+    if not (path / "arrays.npz").exists():
+        return load_train_state_orbax(path, template)
     with np.load(path / "arrays.npz") as data:
         out = dict(template)
         for name in ("params", "opt_state"):

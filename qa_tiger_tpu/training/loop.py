@@ -104,7 +104,12 @@ class AVQARunner:
         self._batch_sharding = batch_sharding(self.mesh)
         self._step_rng = jax.random.PRNGKey(seed + 1)
         self._global_step = 0
+        # microbatch gradient accumulation (an extension over the reference,
+        # which always steps on the full batch): batch splits into
+        # `grad_accum` sequential microbatches inside the jitted step
+        self._grad_accum = int(optim_cfg.get("grad_accum", 1) or 1)
 
+        # donate params/opt-state: updated in place, buffers alias outputs
         self._train_step = jax.jit(
             partial(self._train_step_impl), donate_argnums=(0, 2)
         )
@@ -119,12 +124,11 @@ class AVQARunner:
         return out
 
     def _train_step_impl(self, trainable, frozen, opt_state, batch, lr, rng):
-        def loss_fn(tp):
+        def loss_fn(tp, mb, mb_rng):
             params = merge_params(tp, frozen)
-            out = self.forward_fn(params, batch, self.model_cfg,
-                                  train=True, rng=rng)
-            ce = masked_cross_entropy(out["out"], batch["label"],
-                                      batch["valid"])
+            out = self.forward_fn(params, mb, self.model_cfg,
+                                  train=True, rng=mb_rng)
+            ce = masked_cross_entropy(out["out"], mb["label"], mb["valid"])
             losses = {"ce_loss": ce}
             total = ce
             for key, value in out.items():
@@ -134,12 +138,62 @@ class AVQARunner:
             losses["total_loss"] = total
             return total, losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(trainable)
+        accum = self._grad_accum
+        if accum <= 1:
+            grads, losses = jax.grad(loss_fn, has_aux=True)(
+                trainable, batch, rng)
+        else:
+            grads, losses = self._accumulated_grads(
+                loss_fn, trainable, batch, rng, accum)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         updates = jax.tree_util.tree_map(
             lambda u, m: lr * m * u, updates, self._lr_mults)
         trainable = jax.tree_util.tree_map(jnp.add, trainable, updates)
         return trainable, opt_state, losses
+
+    @staticmethod
+    def _accumulated_grads(loss_fn, trainable, batch, rng, accum):
+        """lax.scan over `accum` microbatches; contributions are weighted by
+        each microbatch's valid-row count, so for the CE loss the result is
+        EXACTLY the full-batch gradient (masked means recombine by weight).
+        Auxiliary ``*loss*`` outputs recombine by the same weights (exact when
+        they are means over valid rows; an approximation otherwise — no
+        shipped model emits any). Peak activation memory drops ~`accum`-fold;
+        requires microbatches to stay divisible by the mesh's data axis.
+
+        Caveat: with the default ``gather_mode="reference"`` the TempMoE
+        batch-rotated expert gather depends on the batch size, so microbatched
+        forwards differ from the full-batch forward (just as re-batching
+        changes the torch reference); exact equivalence holds in
+        ``gather_mode="paper"`` (tests/test_training.py proves it)."""
+        def split(v):
+            return v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+
+        mbs = jax.tree_util.tree_map(split, batch)
+        first = jax.tree_util.tree_map(lambda v: v[0], mbs)
+        _, loss_shape = jax.eval_shape(
+            lambda tp, mb: loss_fn(tp, mb, rng), trainable, first)
+        zeros = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), loss_shape)
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        carry0 = (g0, zeros, jnp.float32(0.0), jnp.int32(0))
+
+        def body(carry, mb):
+            g_sum, l_sum, w_sum, i = carry
+            w = jnp.sum(mb["valid"].astype(jnp.float32))
+            g, losses = jax.grad(loss_fn, has_aux=True)(
+                trainable, mb, jax.random.fold_in(rng, i))
+            g_sum = jax.tree_util.tree_map(
+                lambda a, b: a + w * b.astype(a.dtype), g_sum, g)
+            l_sum = jax.tree_util.tree_map(
+                lambda a, b: a + w * b, l_sum, losses)
+            return (g_sum, l_sum, w_sum + w, i + 1), None
+
+        (g_sum, l_sum, w_sum, _), _ = jax.lax.scan(body, carry0, mbs)
+        denom = jnp.maximum(w_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+        losses = jax.tree_util.tree_map(lambda v: v / denom, l_sum)
+        return grads, losses
 
     def _eval_step_impl(self, trainable, frozen, batch):
         params = merge_params(trainable, frozen)

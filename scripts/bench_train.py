@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Train-step throughput at the reference recipe (batch 32, fp32, Adam).
+
+Times the full jitted SPMD train step — forward (with dropout), CE loss,
+backward, two-group-LR Adam update — through AVQARunner exactly as
+src/train.py drives it, on synthetic batches with the shipped feature shapes.
+The reference's counterpart is its per-batch Process Time log
+(src/trainutils.py:293-309) around loss.backward()/optimizer.step().
+
+Prints ONE JSON line: train steps/sec and the derived qa-pairs/sec.
+
+Usage: python scripts/bench_train.py [--batch 32] [--accum 1] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+T, P = 60, 14
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from qa_tiger_tpu.models.qa_tiger import (
+        FROZEN_PREFIXES,
+        qa_tiger_config,
+        qa_tiger_forward,
+        qa_tiger_init,
+    )
+    from qa_tiger_tpu.parallel import make_mesh
+    from qa_tiger_tpu.training.loop import AVQARunner
+    from qa_tiger_tpu.utils import Box
+
+    B = args.batch
+    cfg = Box(dict(
+        type="qa-tiger", debug=False, log_interval=1000, epochs=1,
+        hyper_params=dict(
+            model=dict(), optim=dict(lr=1e-4, betas=(0.95, 0.999),
+                                     weight_decay=0, encoder_lr=None,
+                                     grad_accum=args.accum),
+            sched=dict(name="StepLR", step_size=8, gamma=0.1),
+        ),
+    ))
+    model_cfg = qa_tiger_config(
+        d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
+        topK=7, num_experts=7, num_labels=42, encoder_type="ViT-L/14@336px")
+    runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
+                        FROZEN_PREFIXES, mesh=make_mesh(), seed=0)
+
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "quest": rng.integers(1, 49406, (B, 77)).astype(np.int64),
+        "audio": rng.standard_normal((B, T, 128)).astype(np.float32),
+        "video": rng.standard_normal((B, T, 768)).astype(np.float32),
+        "patch": rng.standard_normal((B, T, P, 1024)).astype(np.float32),
+        "label": rng.integers(0, 42, B).astype(np.int32),
+        "qtype_label": rng.integers(0, 9, B).astype(np.int32),
+        "valid": np.ones(B, bool),
+    }
+    lr = jnp.float32(1e-4)
+
+    def step(i):
+        batch = runner._device_batch(host_batch)
+        runner.trainable, runner.opt_state, losses = runner._train_step(
+            runner.trainable, runner.frozen, runner.opt_state, batch, lr,
+            jax.random.PRNGKey(i))
+        return losses
+
+    losses = step(0)
+    # force full materialization (block_until_ready can return early on the
+    # tunneled backend); loss scalars are tiny host transfers
+    float(losses["total_loss"])
+    for i in range(3):
+        float(step(i)["total_loss"])
+    rates = []
+    for rep in range(args.repeats):
+        start = time.perf_counter()
+        for i in range(args.iters):
+            losses = step(100 * rep + i)
+        float(losses["total_loss"])
+        dt = time.perf_counter() - start
+        rates.append(args.iters / dt)
+    sps = float(np.median(rates))
+    print(json.dumps({
+        "metric": "train_steps_per_sec_b%d%s" % (
+            B, f"_accum{args.accum}" if args.accum > 1 else ""),
+        "value": round(sps, 3),
+        "unit": "steps/s",
+        "qa_pairs_per_sec": round(sps * B, 2),
+        "step_ms": round(1e3 / sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

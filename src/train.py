@@ -148,12 +148,22 @@ def main():
                                 exclude_prefixes=("video_encoder",))
         if not cfg.debug and cfg.get("save_state", True) \
                 and jax.process_index() == 0:
-            save_train_state(
-                runner.train_state(epoch=epoch, best_acc=best_acc,
-                                   best_epoch=best_epoch),
-                save_dir / "last_state")
+            state = runner.train_state(epoch=epoch, best_acc=best_acc,
+                                       best_epoch=best_epoch)
+            if cfg.get("save_state_async"):
+                # orbax async: serialization overlaps the next epoch
+                from qa_tiger_tpu.training import save_train_state_async
+
+                save_train_state_async(state, save_dir / "last_state")
+            else:
+                save_train_state(state, save_dir / "last_state")
         logger.info(f"Epoch {epoch} done with {acc:3.2f} and loss {loss:.5f}.")
         logger.info(f"At epoch{best_epoch} best acc: {best_acc:3.2f}.")
+
+    if cfg.get("save_state_async"):
+        from qa_tiger_tpu.training import wait_for_async_saves
+
+        wait_for_async_saves()
 
     if not cfg.debug:
         logger.info(f"\nTesting with Best validation model... {cfg.data.test_annot}")

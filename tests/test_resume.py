@@ -1,6 +1,7 @@
 """Full train-state checkpointing: save/restore round trip resumes training
 with identical optimizer state."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -89,3 +90,32 @@ def test_resume_bitwise_continuation(tmp_path):
                     jax.tree_util.tree_leaves(r2.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_async_orbax_save_roundtrip(tmp_path):
+    """save_train_state_async (orbax background thread) -> wait ->
+    load_train_state auto-detects the orbax layout and restores exactly."""
+    pytest.importorskip("orbax.checkpoint")
+    from qa_tiger_tpu.training import (
+        save_train_state_async,
+        wait_for_async_saves,
+    )
+
+    r1 = make_runner()
+    batch = synth_batch(np.random.default_rng(1))
+    r1.trainable, r1.opt_state, _ = r1._train_step(
+        r1.trainable, r1.frozen, r1.opt_state, dict(batch),
+        jnp.float32(1e-3), jax.random.PRNGKey(0))
+    save_train_state_async(
+        r1.train_state(epoch=3, best_acc=55.5, best_epoch=2),
+        tmp_path / "astate")
+    wait_for_async_saves()
+
+    r2 = make_runner(seed=0)
+    template = r2.train_state(epoch=0, best_acc=0.0, best_epoch=-1)
+    state = load_train_state(tmp_path / "astate", template)
+    scalars = r2.restore_train_state(state)
+    assert scalars["epoch"] == 3 and scalars["best_acc"] == 55.5
+    for a, b in zip(jax.tree_util.tree_leaves(r1.trainable),
+                    jax.tree_util.tree_leaves(r2.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -251,6 +251,60 @@ class TestEndToEnd:
         np.testing.assert_array_equal(
             np.asarray(runner.frozen["extra_frozen"]["w"]), np.ones((3, 3)))
 
+    @pytest.mark.parametrize("accum", [2, 4])
+    def test_grad_accum_matches_full_batch(self, accum):
+        """grad_accum=N must produce the same update as the full batch: the
+        masked-CE means recombine exactly by valid-count weighting.
+
+        Exact equivalence requires a deterministic, batch-decoupled loss:
+        gather_mode="paper" (the reference's default batch-rotated gather
+        depends on batch SIZE — microbatching legitimately changes outputs,
+        as re-batching does in the torch reference too) and train=False in
+        the forward wrapper (TempMoE's router attention has the reference's
+        hardcoded dropout=0.1, modules.py:268, so train-mode masks are
+        batch-shaped and can never recombine across microbatches — true of
+        any framework's grad accumulation under dropout)."""
+        model_cfg = qa_tiger_config(num_labels=42, gather_mode="paper",
+                                    **TINY)
+
+        def det_forward(p, b, c, *, train=False, rng=None):
+            return qa_tiger_forward(p, b, c, train=False)
+
+        rng = np.random.default_rng(11)
+        batch = synth_batch(rng)
+        # exercise the weighting: pad out two rows
+        batch["valid"][-2:] = False
+
+        results = {}
+        for name, ga in [("full", 1), ("accum", accum)]:
+            cfg = tiny_cfg()
+            cfg.hyper_params.optim["grad_accum"] = ga
+            mesh = make_mesh(1, devices=jax.devices("cpu"))
+            runner = AVQARunner(cfg, model_cfg, qa_tiger_init,
+                                det_forward, FROZEN_PREFIXES,
+                                mesh=mesh, seed=0)
+            # linear-in-gradient update (plain SGD): comparing the updated
+            # weights then compares the GRADIENTS. Adam's step-1 update is
+            # ~±lr*sign(grad), which amplifies fp32 accumulation-order noise
+            # on near-zero gradients into O(lr) weight differences.
+            import optax
+
+            runner.tx = optax.sgd(1.0)
+            runner.opt_state = runner.tx.init(runner.trainable)
+            dev = runner._device_batch(batch)
+            runner.trainable, runner.opt_state, losses = runner._train_step(
+                runner.trainable, runner.frozen, runner.opt_state, dev,
+                jnp.float32(1e-3), jax.random.PRNGKey(5))
+            results[name] = (
+                jax.tree_util.tree_map(np.asarray, runner.trainable),
+                float(losses["ce_loss"]))
+
+        assert results["full"][1] == pytest.approx(results["accum"][1],
+                                                   rel=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(results["full"][0]),
+                        jax.tree_util.tree_leaves(results["accum"][0])):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
     @pytest.mark.skipif(len(jax.devices("cpu")) < 8,
                         reason="needs 8 virtual devices")
     def test_multidevice_matches_single(self):
