@@ -129,6 +129,11 @@ def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
 
 def resblock(params: Params, x: jax.Array, *, heads: int,
              mask: Optional[jax.Array]) -> jax.Array:
+    """One pre-LN block. ``mha`` routes the attention through the packed
+    heads-in-lanes Pallas kernel on TPU (ops/pallas/attention.py) and XLA
+    fuses the rest — measured FASTER than the fully-fused per-resblock
+    kernel (ops/pallas/resblock.py, kept as an opt-in; see its docstring
+    for the v5e numbers)."""
     h = layer_norm(params["ln_1"], x)
     attn_out, _ = mha(params["attn"], h, h, h, num_heads=heads,
                       attn_mask=mask, need_weights=False)

@@ -1,0 +1,137 @@
+"""Parity tests for the fused CLIP resblock Pallas kernels (interpret mode).
+
+The fused path must match the jnp formulation (which itself is
+golden-parity-tested against the torch reference in test_clip_text_parity /
+test_fullsize_parity) for every dispatch regime: packed (g>1) and unpacked
+attention, chunked (n_h>1) and single-chunk MLP, causal-masked and unmasked,
+fp32 and bf16.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qa_tiger_tpu.models.clip_text import causal_mask, resblock_init
+from qa_tiger_tpu.ops.pallas.resblock import (
+    _attn_sizes,
+    _mlp_sizes,
+    fused_resblock,
+    resblock_jnp,
+)
+
+
+def _params(width, key=0):
+    p = resblock_init(jax.random.PRNGKey(key), width)
+    # resblock_init leaves matrices zero (caller scales); fill with noise
+    ks = jax.random.split(jax.random.PRNGKey(key + 1), 4)
+    p["attn"]["in_proj_weight"] = 0.05 * jax.random.normal(
+        ks[0], p["attn"]["in_proj_weight"].shape)
+    p["attn"]["in_proj_bias"] = 0.01 * jnp.arange(
+        3 * width, dtype=jnp.float32) / width
+    p["attn"]["out_proj"]["weight"] = 0.05 * jax.random.normal(
+        ks[1], (width, width))
+    p["mlp"]["c_fc"]["weight"] = 0.05 * jax.random.normal(
+        ks[2], (4 * width, width))
+    p["mlp"]["c_proj"]["weight"] = 0.05 * jax.random.normal(
+        ks[3], (width, 4 * width))
+    p["ln_1"]["weight"] = 1.0 + 0.1 * jnp.sin(jnp.arange(width))
+    p["ln_2"]["bias"] = 0.1 * jnp.cos(jnp.arange(width))
+    return p
+
+
+CASES = [
+    # (B, S, W, heads, causal)  — text-tower-shaped (packed g>1) and
+    # image-tower-shaped (g=1), small enough for interpret mode
+    (8, 13, 128, 4, True),
+    (8, 13, 128, 4, False),
+    (2, 77, 128, 2, True),     # S=77: g=2 packing path at B=2? g=min(2,3)=2
+    (3, 40, 256, 4, False),    # odd batch: g must divide B
+]
+
+
+@pytest.mark.parametrize("B,S,W,heads,causal", CASES)
+def test_fused_resblock_matches_jnp_fp32(B, S, W, heads, causal):
+    params = _params(W)
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, S, W))
+    mask = causal_mask(S) if causal else None
+    want = resblock_jnp(params, x, heads=heads, mask=mask)
+    got = fused_resblock(x, params, mask, heads, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resblock_bf16():
+    B, S, W, heads = 4, 26, 128, 4
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), _params(W))
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, S, W), jnp.bfloat16)
+    mask = causal_mask(S, dtype=jnp.bfloat16)
+    want = resblock_jnp(params, x, heads=heads, mask=mask)
+    got = fused_resblock(x, params, mask, heads, True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_grad_matches_jnp():
+    B, S, W, heads = 4, 13, 128, 4
+    params = _params(W)
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, S, W))
+    mask = causal_mask(S)
+
+    def loss_fused(p, x):
+        return jnp.sum(jnp.square(fused_resblock(x, p, mask, heads, True)))
+
+    def loss_jnp(p, x):
+        return jnp.sum(jnp.square(resblock_jnp(p, x, heads=heads, mask=mask)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    gj = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_cpu_fallback_is_jnp_path():
+    # interpret=None off-TPU must not touch Pallas (exact equality)
+    B, S, W, heads = 2, 9, 128, 4
+    params = _params(W)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, W))
+    want = resblock_jnp(params, x, heads=heads, mask=None)
+    got = fused_resblock(x, params, None, heads)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sizes_fit_vmem():
+    from qa_tiger_tpu.ops.pallas.resblock import VMEM_TOTAL
+
+    # shipped text tower (bf16) must fuse both halves with weights resident
+    g, r = _attn_sizes(256, 77, 768, 2)
+    assert 256 % g == 0 and (256 // g) % r == 0 and g * S_fits(g, 77)
+    rm, chunks = _mlp_sizes(256, 77, 768, 2)
+    assert 256 % rm == 0 and (4 * 768) % (chunks * 128) == 0
+    assert 2 * 768 * 3072 * 2 <= VMEM_TOTAL
+    # the wide image tower (S=577, W=1024, bf16) exceeds scoped VMEM: the
+    # sizing functions must refuse rather than OOM the chip
+    assert _attn_sizes(120, 577, 1024, 2) is None
+    assert _mlp_sizes(120, 577, 1024, 2) is None
+    # fp32 text tower: MLP weights alone are ~19 MB — must refuse
+    assert _mlp_sizes(256, 77, 768, 4) is None
+
+
+def S_fits(g, s):
+    return g * s <= 640
+
+
+def test_text_tower_end_to_end_unchanged():
+    """clip_text_encode (jnp resblock path — fused_resblock is an opt-in,
+    see ops/pallas/resblock.py) still runs end-to-end sane."""
+    from qa_tiger_tpu.models.clip_text import clip_text_encode, clip_text_init
+
+    params = clip_text_init(jax.random.PRNGKey(0), "ViT-B/32")
+    text = jax.random.randint(jax.random.PRNGKey(1), (3, 77), 1, 49406)
+    text = text.at[:, -1].set(49407)
+    pooled, words = clip_text_encode(params, text, encoder_type="ViT-B/32")
+    assert pooled.shape == (3, 512) and words.shape == (3, 77, 512)
+    assert bool(jnp.all(jnp.isfinite(pooled)))
