@@ -17,6 +17,7 @@ The TPU counterpart of the reference's train/evaluate/test loops
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -222,40 +223,60 @@ class AVQARunner:
         sums: Dict[str, float] = {}
         count = 0
         epoch_time = time.time()
-        for batch_idx, host_batch in enumerate(loader):
-            start_time = time.time()
-            self._step_rng, rng = jax.random.split(self._step_rng)
-            batch = self._device_batch(host_batch)
-            self.trainable, self.opt_state, losses = self._train_step(
-                self.trainable, self.frozen, self.opt_state, batch,
-                jnp.float32(lr), rng)
-            self._global_step += 1
+        # profile_dir config key or QA_TIGER_PROFILE_DIR env: capture a
+        # jax.profiler device trace of steps 1-3 of the first epoch
+        # (step 0 is compile) into <dir>, TensorBoard/Perfetto-viewable.
+        # The reference has no profiler at all (wall-clock logs only).
+        prof_dir = cfg.get("profile_dir") or os.environ.get(
+            "QA_TIGER_PROFILE_DIR")
+        prof_on = False
+        try:
+            for batch_idx, host_batch in enumerate(loader):
+                if prof_dir and epoch == 1 and batch_idx == 1:
+                    jax.profiler.start_trace(prof_dir)
+                    prof_on = True
+                start_time = time.time()
+                self._step_rng, rng = jax.random.split(self._step_rng)
+                batch = self._device_batch(host_batch)
+                self.trainable, self.opt_state, losses = self._train_step(
+                    self.trainable, self.frozen, self.opt_state, batch,
+                    jnp.float32(lr), rng)
+                self._global_step += 1
 
-            losses = {k: float(v) for k, v in losses.items()}
-            for k, v in losses.items():
-                sums[k] = sums.get(k, 0.0) + v
-                if writer is not None:
-                    writer.add_scalar(f"train/loss/{k}", v,
-                                      (epoch - 1) * (tot_batch + 1) + batch_idx)
-            count += 1
+                losses = {k: float(v) for k, v in losses.items()}
+                for k, v in losses.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                    if writer is not None:
+                        writer.add_scalar(
+                            f"train/loss/{k}", v,
+                            (epoch - 1) * (tot_batch + 1) + batch_idx)
+                count += 1
 
-            if batch_idx % cfg.log_interval == 0 or batch_idx == tot_batch:
-                batch_t = time.time() - start_time
-                elapsed = time.time() - epoch_time
-                avg_time = elapsed / (batch_idx + 1)
-                est = (tot_batch - batch_idx) * avg_time / 60
-                cur = str(batch_idx).zfill(len(str(max(tot_batch, 1))))
-                ratio = 100.0 * batch_idx / max(tot_batch, 1)
-                loss_str = " ".join(
-                    f"{k}-{v:.4f}({sums[k] / count:.4f})"
-                    for k, v in losses.items())
-                logger.info(
-                    f"[EST: {est:7.2f}m][Process Time: {batch_t:7.2f}s]"
-                    f"- Epoch: {epoch} [{cur}/{tot_batch} ({ratio:3.0f}%)]"
-                    f"\tLosses: {loss_str}")
+                if prof_on and batch_idx == 3:
+                    jax.profiler.stop_trace()
+                    prof_on = False
+                    logger.info(f"Profiler trace written to {prof_dir}")
 
-            if cfg.debug and batch_idx == 10:
-                break
+                if batch_idx % cfg.log_interval == 0 or batch_idx == tot_batch:
+                    batch_t = time.time() - start_time
+                    elapsed = time.time() - epoch_time
+                    avg_time = elapsed / (batch_idx + 1)
+                    est = (tot_batch - batch_idx) * avg_time / 60
+                    cur = str(batch_idx).zfill(len(str(max(tot_batch, 1))))
+                    ratio = 100.0 * batch_idx / max(tot_batch, 1)
+                    loss_str = " ".join(
+                        f"{k}-{v:.4f}({sums[k] / count:.4f})"
+                        for k, v in losses.items())
+                    logger.info(
+                        f"[EST: {est:7.2f}m][Process Time: {batch_t:7.2f}s]"
+                        f"- Epoch: {epoch} [{cur}/{tot_batch} ({ratio:3.0f}%)]"
+                        f"\tLosses: {loss_str}")
+
+                if cfg.debug and batch_idx == 10:
+                    break
+        finally:
+            if prof_on:
+                jax.profiler.stop_trace()
 
     def _run_eval(self, loader, debug: bool):
         ce_sum = 0.0

@@ -92,7 +92,16 @@ def test_make_loaders_splits_batch_per_process(corpus, monkeypatch):
     loaders get batch_size // 2 and disjoint strided shards
     (reference counterpart: DistributedSampler + per-rank batch split,
     src/trainutils.py:191-198)."""
-    import src.train as train_mod
+    # load by path: `import src.train` would resolve to the REFERENCE's src
+    # package when an oracle test imported it first in the same session
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "qa_mh_train", repo / "src" / "train.py")
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
 
     cfg = full_cfg(corpus)
     monkeypatch.setattr(jax, "process_count", lambda: 2)

@@ -251,6 +251,23 @@ class TestEndToEnd:
         np.testing.assert_array_equal(
             np.asarray(runner.frozen["extra_frozen"]["w"]), np.ones((3, 3)))
 
+    def test_profile_dir_writes_trace(self, tmp_path):
+        """cfg.profile_dir captures a jax.profiler device trace of train
+        steps 1-3 (an observability feature the reference lacks)."""
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        cfg = tiny_cfg()
+        cfg["profile_dir"] = str(tmp_path / "trace")
+        mesh = make_mesh(1, devices=jax.devices("cpu"))
+        runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
+                            FROZEN_PREFIXES, mesh=mesh, seed=0)
+        rng = np.random.default_rng(3)
+        loader = FakeLoader([synth_batch(rng) for _ in range(5)])
+        runner.train_epoch(1, loader, 1e-3)
+        artifacts = [f for f in (tmp_path / "trace").rglob("*") if f.is_file()]
+        assert artifacts, "no trace files written"
+        assert any("xplane" in f.name or f.suffix in (".pb", ".gz", ".json")
+                   for f in artifacts)
+
     @pytest.mark.parametrize("accum", [2, 4])
     def test_grad_accum_matches_full_batch(self, accum):
         """grad_accum=N must produce the same update as the full batch: the
