@@ -53,6 +53,10 @@ def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
 
+    from qa_tiger_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from qa_tiger_tpu.models.qa_tiger import (
         qa_tiger_config,
         qa_tiger_forward,

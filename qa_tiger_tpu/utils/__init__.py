@@ -1,3 +1,4 @@
+from qa_tiger_tpu.utils.cache import enable_compilation_cache
 from qa_tiger_tpu.utils.config import Box, arg_parse, build_config, load_config_module
 from qa_tiger_tpu.utils.seed import seed_everything
 from qa_tiger_tpu.utils.logging import (
@@ -9,6 +10,7 @@ from qa_tiger_tpu.utils.logging import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
     "Box",
     "arg_parse",
     "build_config",

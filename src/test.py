@@ -24,6 +24,7 @@ from qa_tiger_tpu.training import load_checkpoint  # noqa: E402
 from qa_tiger_tpu.training.loop import AVQARunner  # noqa: E402
 from qa_tiger_tpu.utils import (  # noqa: E402
     arg_parse,
+    enable_compilation_cache,
     build_config,
     get_logger,
     logging_config,
@@ -33,6 +34,7 @@ from qa_tiger_tpu.utils import (  # noqa: E402
 
 
 def main():
+    enable_compilation_cache()
     args = arg_parse()
     args.mode = "test"
     if args.distributed:

@@ -31,6 +31,7 @@ from qa_tiger_tpu.training import (  # noqa: E402
 from qa_tiger_tpu.training.loop import AVQARunner  # noqa: E402
 from qa_tiger_tpu.utils import (  # noqa: E402
     arg_parse,
+    enable_compilation_cache,
     build_config,
     calculate_parameters,
     get_logger,
@@ -56,6 +57,7 @@ def make_loaders(cfg, mesh):
 
 
 def main():
+    enable_compilation_cache()
     args = arg_parse()
     if args.distributed:
         jax.distributed.initialize()

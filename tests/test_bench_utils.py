@@ -45,3 +45,19 @@ def test_colormap_deterministic():
     np.testing.assert_array_equal(generate_colormap(5, seed=1),
                                   generate_colormap(5, seed=1))
     assert generate_colormap(5, 1).shape == (5, 3)
+
+
+def test_compilation_cache_opt_in(tmp_path, monkeypatch):
+    """enable_compilation_cache is a no-op unless explicitly requested (the
+    warm-cache path measured SLOWER than recompiling on the axon backend -
+    see utils/cache.py docstring)."""
+    from qa_tiger_tpu.utils import enable_compilation_cache
+
+    monkeypatch.delenv("QA_TIGER_CACHE_DIR", raising=False)
+    monkeypatch.delenv("JAX_CACHE_DIR", raising=False)
+    assert enable_compilation_cache() is None
+    monkeypatch.setenv("QA_TIGER_CACHE_DIR", "off")
+    assert enable_compilation_cache() is None
+    d = tmp_path / "jaxcache"
+    assert enable_compilation_cache(str(d)) == str(d)
+    assert d.is_dir()
