@@ -235,16 +235,28 @@ def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
 def _wide_sizes(B, Sq, Sk, W, itemsize):
     """Pick (g = elements per packed problem, r = problems per grid step).
 
-    g*max(Sq,Sk) lands near 256 rows (2 MXU tiles) without exploding the
-    packed-FLOP blowup; r then sizes the grid step to fit the 16 MB scoped
-    VMEM budget (blocks are double-buffered, scores are fp32)."""
-    g = max(1, min(B, 256 // max(Sq, Sk)))
-    while B % g:
-        g -= 1
-    budget = 8 * 1024 * 1024
+    g=1 for medium/long sequences: the pack reshape ([B,S,W] ->
+    [B/g,g*S,W]) is NOT free in HBM — S rows pad to 8-sublane tiles, so
+    merging them is a real shuffle XLA emits as reshape+copy. Measured on
+    v5e at the shipped sizes, unpacked g=1 beats g=2 despite identical MXU
+    row utilization (text tower 77/77: 31.5 vs 33.0 ms; avq 60/77: 4.9 vs
+    5.9 ms). Packing only pays for short sequences (< 48 rows) where a
+    score matmul would waste most of a 128-row tile. r then sizes the grid
+    step to the scoped-VMEM budget (blocks double-buffered, scores fp32;
+    10 MB keeps the largest measured-working r: 8 for 77/768, 16 for
+    60x77/512, while one step more OOMs the 16 MB limit)."""
+    if max(Sq, Sk) >= 48:
+        g = 1
+    else:
+        g = max(1, min(B, 256 // max(Sq, Sk)))
+        while B % g:
+            g -= 1
+    budget = 10 * 1024 * 1024
     per_r = (2 * g * (2 * Sq + 2 * Sk) * W * itemsize  # q,k,v,out x2 buf
              + g * g * Sq * Sk * 4)                    # fp32 score tile
-    r = max(1, min(B // g, 8, budget // max(per_r, 1)))
+    r = max(1, min(B // g, budget // max(per_r, 1)))
+    if g > 1:
+        r = min(r, 8)
     while (B // g) % r:
         r -= 1
     return g, r
