@@ -145,9 +145,12 @@ def main():
 
     if args.trace:
         try:
+            fwd = jax.jit(
+                lambda p, b: qa_tiger_forward(p, b, cfg, train=False)["out"])
+            _force(fwd(params, batch))  # compile outside the trace
             with jax.profiler.trace(args.trace):
                 for _ in range(3):
-                    out = qa_tiger_forward(params, batch, cfg, train=False)
+                    out = fwd(params, batch)
                 _force(out)
             print(f"trace written to {args.trace}")
         except Exception as exc:
