@@ -33,6 +33,7 @@ def qa_tiger_config(d_model: int = 512, video_dim: int = 512,
                     encoder_type: str = "ViT-L/14@336px",
                     late_fusion: bool = False, nce_loss: bool = False,
                     gather_mode: str = "reference",
+                    text_ctx: int | None = None,
                     **_unused) -> dict:
     """Model hyperparameters; defaults mirror QA_TIGER.__init__ signature
     (src/models/net.py:21-31); the shipped config overrides to
@@ -43,6 +44,7 @@ def qa_tiger_config(d_model: int = 512, video_dim: int = 512,
         audio_dim=audio_dim, topK=topK, num_experts=num_experts,
         num_labels=num_labels, encoder_type=encoder_type,
         nhead=8, sigma=9.0, dropout=0.1, gather_mode=gather_mode,
+        text_ctx=text_ctx,
     )
 
 
@@ -83,8 +85,21 @@ def encode_question(params: Params, quest: jax.Array, cfg: dict):
     Integer input = token ids -> frozen CLIP text tower (the reference's
     dtype-sniffing dispatch, src/models/net.py:94-100). Float input =
     precomputed question features (squeeze the length-1 axis).
+
+    ``cfg["text_ctx"]`` (opt-in, default None = the reference's full 77):
+    statically trims the token sequence before the tower. With the causal
+    mask, every kept position — including the EOT pooling read — is
+    mathematically identical to the full-length run as long as
+    EOT < text_ctx (AVQARunner validates that host-side; numerically it
+    agrees up to fp32 reduction-order, ~1e-5). The deviation from reference
+    semantics: ``words`` loses its post-EOT padding positions, which the
+    reference feeds as extra cross-attention keys. A serving-speed mode,
+    not a parity mode; bench.py does not use it.
     """
     if jnp.issubdtype(quest.dtype, jnp.integer):
+        ctx = cfg.get("text_ctx")
+        if ctx and ctx < quest.shape[1]:
+            quest = quest[:, :ctx]
         pooled, words = clip_text_encode(
             params["quest_encoder"], quest, encoder_type=cfg["encoder_type"]
         )

@@ -118,6 +118,18 @@ class AVQARunner:
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        ctx = self.model_cfg.get("text_ctx")
+        if ctx and "quest" in batch \
+                and np.issubdtype(np.asarray(batch["quest"]).dtype, np.integer):
+            # trimmed-tower mode is bit-exact only while the EOT token (the
+            # argmax id) survives the static slice; catch violations host-side
+            # rather than silently pooling a wrong position
+            eot = np.asarray(batch["quest"]).argmax(-1)
+            if (eot >= ctx).any():
+                raise ValueError(
+                    f"text_ctx={ctx} but a question's EOT sits at position "
+                    f"{int(eot.max())}; raise text_ctx (tokenized questions "
+                    "must fit, including SOT/EOT)")
         out = {}
         for k in BATCH_KEYS:
             if k in batch and batch[k] is not None:

@@ -139,3 +139,23 @@ def test_train_then_test_cli(workdir, monkeypatch, capsys):
     assert results, "no result file written"
     text = results[0].read_text()
     assert "Total avg" in text
+
+
+def test_predict_cli(workdir, monkeypatch, capsys):
+    """src/predict.py answers one (question, video) pair from features and
+    prints one JSON line with the top-k answers."""
+    predict_mod = _load_entry("predict")
+    monkeypatch.setattr(predict_mod, "make_mesh", _cpu_mesh)
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--config", str(workdir / "tiny.py"),
+        "--question", "How many instruments are playing?",
+        "--video", VIDEOS[0], "--topk", "3"])
+    predict_mod.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["video"] == VIDEOS[0]
+    assert out["answer"] in ANSWERS
+    assert len(out["topk"]) == 3
+    probs = [t["prob"] for t in out["topk"]]
+    assert probs == sorted(probs, reverse=True)
+    assert all(t["answer"] in ANSWERS for t in out["topk"])
