@@ -161,6 +161,8 @@ def load_train_state(path: str | Path, template: Dict[str, Any]
     Auto-detects format: orbax layout (written by save_train_state_orbax /
     save_train_state_async) or the dependency-free .npz layout."""
     path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"checkpoint not found: {path}")
     if not (path / "arrays.npz").exists():
         return load_train_state_orbax(path, template)
     with np.load(path / "arrays.npz") as data:

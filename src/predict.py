@@ -100,10 +100,11 @@ def main():
                   file=sys.stderr)
         runner.load_params(params)
 
-    batch = {k: jnp.asarray(v) for k, v in
-             load_features(cfg, args.video).items()}
-    batch["quest"] = jnp.asarray(
-        ClipTokenizer()(args.question, truncate=True).astype(np.int64))
+    batch = load_features(cfg, args.video)
+    batch["quest"] = ClipTokenizer()(args.question, truncate=True).astype(np.int64)
+    # route through the runner so text_ctx EOT validation (and device
+    # placement) is identical to the batch eval path
+    batch = runner._device_batch(batch)
 
     params = merge_params(runner.trainable, runner.frozen)
     logits = jax.jit(
