@@ -23,7 +23,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qa_tiger_tpu.nn import layer_norm, layer_norm_init, linear, mha, mha_init, quick_gelu
+from qa_tiger_tpu.nn import layer_norm, layer_norm_init, linear, mha_init, quick_gelu
 
 Params = dict
 
@@ -129,16 +129,18 @@ def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
 
 def resblock(params: Params, x: jax.Array, *, heads: int,
              mask: Optional[jax.Array]) -> jax.Array:
-    """One pre-LN block. ``mha`` routes the attention through the packed
-    heads-in-lanes Pallas kernel on TPU (ops/pallas/attention.py) and XLA
-    fuses the rest — measured FASTER than the fully-fused per-resblock
-    kernel (ops/pallas/resblock.py, kept as an opt-in; see its docstring
-    for the v5e numbers)."""
-    h = layer_norm(params["ln_1"], x)
-    attn_out, _ = mha(params["attn"], h, h, h, num_heads=heads,
-                      attn_mask=mask, need_weights=False)
-    x = x + attn_out
-    h = layer_norm(params["ln_2"], x)
+    """One pre-LN block.
+
+    Attention half (ln_1 + qkv + heads-in-lanes attention + out_proj +
+    residual) runs as ONE Pallas kernel on TPU at g=1
+    (ops/pallas/resblock.fused_attn_half) — it removes the per-layer
+    LayerNorm-chain HBM round trips the round-2 device traces flagged. The
+    MLP half stays with XLA, whose own fusion measured FASTER than the
+    fused MLP kernel (ops/pallas/resblock.py docstring has the v5e
+    numbers). Off-TPU both halves fall back to the jnp formulation."""
+    from qa_tiger_tpu.ops.pallas.resblock import fused_attn_ln2
+
+    x, h = fused_attn_ln2(x, params, mask, heads, None)
     h = linear(params["mlp"]["c_fc"], h)
     h = quick_gelu(h)
     h = linear(params["mlp"]["c_proj"], h)

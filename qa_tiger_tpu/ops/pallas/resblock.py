@@ -90,8 +90,9 @@ def resblock_jnp(params, x, *, heads, mask):
 # attention half
 # ---------------------------------------------------------------------------
 
-def _attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                 wout_ref, bout_ref, mask_ref, y_ref, *, heads):
+def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+               wout_ref, bout_ref, mask_ref, *, heads):
+    """x + out_proj(attn(ln_1(x))) on one VMEM block ([r, gS, W])."""
     r, gs, W = x_ref.shape
     hd = W // heads
     scale = 1.0 / math.sqrt(hd)
@@ -121,22 +122,47 @@ def _attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ctx = jnp.concatenate(ctxs, axis=-1).reshape(r * gs, W)
     out = (jnp.dot(ctx, wout_ref[:], preferred_element_type=jnp.float32)
            + bout_ref[0]).astype(dt).reshape(r, gs, W)
-    y_ref[:] = x + out
+    return x + out
 
 
-def _attn_sizes(B, S, W, itemsize):
+def _attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                 wout_ref, bout_ref, mask_ref, y_ref, *, heads):
+    y_ref[:] = _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                          wout_ref, bout_ref, mask_ref, heads=heads)
+
+
+def _attn_ln2_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                     wout_ref, bout_ref, ln2w_ref, ln2b_ref, mask_ref,
+                     y_ref, h2_ref, *, heads):
+    """Attention half + the MLP half's ln_2 input in one pass: emitting
+    ln_2(y) here removes the separate convert_reduce round trip that the
+    round-2 device traces priced at ~0.5 ms/layer."""
+    y = _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                   wout_ref, bout_ref, mask_ref, heads=heads)
+    y_ref[:] = y
+    h2_ref[:] = _ln(y.astype(jnp.float32), ln2w_ref[0],
+                    ln2b_ref[0]).astype(y.dtype)
+
+
+def _attn_sizes(B, S, W, itemsize, outs=1):
     """(g elements per packed score matrix, r packed problems per grid step).
 
-    Measured on v5e for the text tower (B=256, S=77, W=768, bf16): g=4/r=2
-    runs 2.67 ms/layer (see module docstring — slower than the jnp path);
-    larger r or g exceed scoped VMEM and fail to compile, so the sizing
-    must stay under VMEM_TOTAL."""
-    g = max(1, min(B, 384 // S))
-    while B % g:
-        g -= 1
+    g follows the round-2b measurement (ops/pallas/attention.py:_wide_sizes):
+    packing is a real HBM shuffle and only pays for SHORT sequences, so
+    S >= 48 keeps g=1. (The 2.67 ms/layer negative result in the module
+    docstring was measured at g=4/r=2 BEFORE that finding; the g=1 attn half
+    is what clip_text.resblock routes through now — see fused_attn_ln2.)
+
+    ``outs``: output blocks per grid step (2 when ln_2(y) is emitted too)."""
+    if S >= 48:
+        g = 1
+    else:
+        g = max(1, min(B, 384 // S))
+        while B % g:
+            g -= 1
     weights = 4 * W * W * itemsize
-    per_r = (g * S * W * itemsize * (2 + 2 + 3 + 1 + 1)  # x/y dbuf, qkv, ctx
-             + g * g * S * S * 4 * 2)                    # fp32 score tiles
+    per_r = (g * S * W * itemsize * (2 + 2 * outs + 3 + 1 + 1)  # x/y dbuf,
+             + g * g * S * S * 4 * 2)               # qkv, ctx, fp32 scores
     if weights + per_r > VMEM_TOTAL:
         return None
     r = max(1, min(B // g, 8, (VMEM_TOTAL - weights) // max(per_r, 1)))
@@ -201,6 +227,68 @@ def _attn_impl(x, params, mask, *, heads, interpret):
         ),
     )(xp, *w_args, base[None])
     return out.reshape(B, S, W)
+
+
+def _attn_ln2_impl(x, params, mask, *, heads, interpret):
+    """(y, ln_2(y)) with the attention half fused; jnp fallback pair when
+    the shapes don't fit scoped VMEM."""
+    from qa_tiger_tpu.nn import layer_norm
+
+    B, S, W = x.shape
+    dt = x.dtype
+    sizes = _attn_sizes(B, S, W, dt.itemsize, outs=2)
+    if sizes is None:
+        if interpret:            # no VMEM limit in interpret mode (tests)
+            sizes = (1, B)
+        else:
+            y = _attn_half_jnp(params, x, heads=heads, mask=mask)
+            return y, layer_norm(params["ln_2"], y)
+    g, r = sizes
+    attn = params["attn"]
+    wqkv = attn["in_proj_weight"].T.astype(dt)            # [W, 3W]
+    bqkv = attn["in_proj_bias"][None].astype(jnp.float32)
+    wout = attn["out_proj"]["weight"].T.astype(dt)        # [W, W]
+    bout = attn["out_proj"]["bias"][None].astype(jnp.float32)
+    lnw = params["ln_1"]["weight"][None].astype(jnp.float32)
+    lnb = params["ln_1"]["bias"][None].astype(jnp.float32)
+    ln2w = params["ln_2"]["weight"][None].astype(jnp.float32)
+    ln2b = params["ln_2"]["bias"][None].astype(jnp.float32)
+
+    block_diag = jnp.kron(jnp.eye(g, dtype=jnp.float32),
+                          jnp.ones((S, S), jnp.float32)) > 0.5
+    base = jnp.where(block_diag, 0.0, -jnp.inf).astype(jnp.float32)
+    if mask is not None:
+        base = base + jnp.where(
+            jnp.isneginf(base), 0.0,
+            jnp.tile(mask.astype(jnp.float32), (g, g)))
+
+    xp = x.reshape(B // g, g * S, W)
+    n = (B // g) // r
+    w_args = [lnw, lnb, wqkv, bqkv, wout, bout, ln2w, ln2b]
+    w_specs = [pl.BlockSpec(w.shape, lambda i, _n=w.ndim: (0,) * _n)
+               for w in w_args]
+    io_spec = pl.BlockSpec((r, g * S, W), lambda i: (i, 0, 0))
+    y, h2 = pl.pallas_call(
+        functools.partial(_attn_ln2_kernel, heads=heads),
+        out_shape=(jax.ShapeDtypeStruct((B // g, g * S, W), dt),
+                   jax.ShapeDtypeStruct((B // g, g * S, W), dt)),
+        grid_spec=pl.GridSpec(
+            grid=(n,),
+            in_specs=[
+                io_spec,
+                *w_specs,
+                pl.BlockSpec((1, g * S, g * S), lambda i: (0, 0, 0)),
+            ],
+            out_specs=(io_spec, io_spec)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * W * 4 * W + 4 * B * g * S * S * W,
+            bytes_accessed=3 * x.size * dt.itemsize
+            + (B // (g * r)) * 4 * W * W * dt.itemsize,
+            transcendentals=B * g * S * S,
+        ),
+    )(xp, *w_args, base[None])
+    return y.reshape(B, S, W), h2.reshape(B, S, W)
 
 
 # ---------------------------------------------------------------------------
@@ -372,3 +460,88 @@ def _bwd(heads, interpret, res, g):
 
 
 fused_resblock.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# attention half ONLY (the round-3 routed form): ln_1 + qkv + heads-in-lanes
+# attention + out_proj + residual fused at g=1, the MLP half left to XLA
+# (whose own fusion measured FASTER than the fused MLP kernel above).
+# Directly attacks the ~1.0 ms/layer LayerNorm-chain HBM traffic the round-2
+# device traces attribute to the text tower (docs/PROFILE.md).
+# ---------------------------------------------------------------------------
+
+def _attn_half_jnp(params, x, *, heads, mask):
+    from qa_tiger_tpu.nn import layer_norm, mha
+
+    h = layer_norm(params["ln_1"], x)
+    attn_out, _ = mha(params["attn"], h, h, h, num_heads=heads,
+                      attn_mask=mask, need_weights=False)
+    return x + attn_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attn_half(x, params, mask, heads: int,
+                    interpret: Optional[bool] = None):
+    """x + out_proj(attn(ln_1(x))) in one kernel (x [B, S, W]).
+
+    ``params`` is the resblock pytree ('ln_1' + 'attn' keys used). Falls
+    back to the jnp formulation off-TPU / when shapes don't fit."""
+    if not _usable(x, heads, interpret):
+        return _attn_half_jnp(params, x, heads=heads, mask=mask)
+    return _attn_impl(x, params, mask, heads=heads,
+                      interpret=bool(interpret))
+
+
+def _ah_fwd(x, params, mask, heads, interpret):
+    return fused_attn_half(x, params, mask, heads, interpret), \
+        (x, params, mask)
+
+
+def _ah_bwd(heads, interpret, res, g):
+    x, params, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _attn_half_jnp(p_, x_, heads=heads, mask=mask),
+        x, params)
+    dx, dp = vjp(g)
+    return dx, dp, None
+
+
+fused_attn_half.defvjp(_ah_fwd, _ah_bwd)
+
+
+def _attn_ln2_jnp(params, x, *, heads, mask):
+    from qa_tiger_tpu.nn import layer_norm
+
+    y = _attn_half_jnp(params, x, heads=heads, mask=mask)
+    return y, layer_norm(params["ln_2"], y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attn_ln2(x, params, mask, heads: int,
+                   interpret: Optional[bool] = None):
+    """(y, ln_2(y)) where y = x + out_proj(attn(ln_1(x))) — one kernel.
+
+    The second output feeds the MLP half's first matmul directly, so XLA
+    never re-reads y for a standalone LayerNorm. Falls back to the jnp
+    formulation off-TPU / when shapes don't fit scoped VMEM."""
+    if not _usable(x, heads, interpret):
+        return _attn_ln2_jnp(params, x, heads=heads, mask=mask)
+    return _attn_ln2_impl(x, params, mask, heads=heads,
+                          interpret=bool(interpret))
+
+
+def _al_fwd(x, params, mask, heads, interpret):
+    return fused_attn_ln2(x, params, mask, heads, interpret), \
+        (x, params, mask)
+
+
+def _al_bwd(heads, interpret, res, g):
+    x, params, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _attn_ln2_jnp(p_, x_, heads=heads, mask=mask),
+        x, params)
+    dx, dp = vjp(g)
+    return dx, dp, None
+
+
+fused_attn_ln2.defvjp(_al_fwd, _al_bwd)

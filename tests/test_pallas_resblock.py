@@ -124,6 +124,144 @@ def S_fits(g, s):
     return g * s <= 640
 
 
+class TestFusedAttnHalf:
+    """The round-3 routed form: attention half fused at g=1, MLP to XLA."""
+
+    @pytest.mark.parametrize("B,S,W,heads,causal", CASES)
+    def test_matches_jnp_fp32(self, B, S, W, heads, causal):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_half_jnp,
+            fused_attn_half,
+        )
+
+        params = _params(W)
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, S, W))
+        mask = causal_mask(S) if causal else None
+        want = _attn_half_jnp(params, x, heads=heads, mask=mask)
+        got = fused_attn_half(x, params, mask, heads, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_unpacked_g1_regime(self):
+        # S >= 48 must select g=1 (the round-2b measured win)
+        g, r = _attn_sizes(256, 77, 768, 2)
+        assert g == 1
+        assert 256 % r == 0
+
+    def test_bf16(self):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_half_jnp,
+            fused_attn_half,
+        )
+
+        B, S, W, heads = 4, 77, 128, 4
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), _params(W))
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, S, W), jnp.bfloat16)
+        mask = causal_mask(S, dtype=jnp.bfloat16)
+        want = _attn_half_jnp(params, x, heads=heads, mask=mask)
+        got = fused_attn_half(x, params, mask, heads, True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0.05, atol=0.05)
+
+    def test_grad_matches_jnp(self):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_half_jnp,
+            fused_attn_half,
+        )
+
+        B, S, W, heads = 4, 13, 128, 4
+        params = _params(W)
+        x = jax.random.normal(jax.random.PRNGKey(9), (B, S, W))
+        mask = causal_mask(S)
+
+        def loss_fused(p, x):
+            return jnp.sum(jnp.square(
+                fused_attn_half(x, p, mask, heads, True)))
+
+        def loss_jnp(p, x):
+            return jnp.sum(jnp.square(
+                _attn_half_jnp(p, x, heads=heads, mask=mask)))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+        gj = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gj)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_cpu_fallback_exact(self):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_half_jnp,
+            fused_attn_half,
+        )
+
+        B, S, W, heads = 2, 9, 128, 4
+        params = _params(W)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, S, W))
+        want = _attn_half_jnp(params, x, heads=heads, mask=None)
+        got = fused_attn_half(x, params, None, heads, None)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("B,S,W,heads,causal", CASES)
+    def test_ln2_variant_matches_jnp(self, B, S, W, heads, causal):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_ln2_jnp,
+            fused_attn_ln2,
+        )
+
+        params = _params(W)
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, S, W))
+        mask = causal_mask(S) if causal else None
+        want_y, want_h = _attn_ln2_jnp(params, x, heads=heads, mask=mask)
+        got_y, got_h = fused_attn_ln2(x, params, mask, heads, True)
+        np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_ln2_variant_grad(self):
+        from qa_tiger_tpu.ops.pallas.resblock import (
+            _attn_ln2_jnp,
+            fused_attn_ln2,
+        )
+
+        B, S, W, heads = 4, 13, 128, 4
+        params = _params(W)
+        x = jax.random.normal(jax.random.PRNGKey(9), (B, S, W))
+        mask = causal_mask(S)
+
+        def loss(fn):
+            def f(p, x):
+                y, h = fn(p, x)
+                return jnp.sum(jnp.square(y)) + jnp.sum(h * h * 0.5)
+            return f
+
+        gf = jax.grad(loss(lambda p, x: fused_attn_ln2(x, p, mask, heads,
+                                                       True)),
+                      argnums=(0, 1))(params, x)
+        gj = jax.grad(loss(lambda p, x: _attn_ln2_jnp(p, x, heads=heads,
+                                                      mask=mask)),
+                      argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gj)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_ln2_sizes_fit_text_tower(self):
+        # bf16 shipped text tower must still fit with the second output
+        got = _attn_sizes(256, 77, 768, 2, outs=2)
+        assert got is not None
+        g, r = got
+        assert g == 1 and 256 % r == 0
+
+    def test_wide_tower_refuses(self):
+        # CLIP-L image tower shape exceeds scoped VMEM -> sizing refuses
+        # (resblock falls back to the mha/attention_wide route)
+        assert _attn_sizes(120, 577, 1024, 2) is None
+
+
 def test_text_tower_end_to_end_unchanged():
     """clip_text_encode (jnp resblock path — fused_resblock is an opt-in,
     see ops/pallas/resblock.py) still runs end-to-end sane."""
