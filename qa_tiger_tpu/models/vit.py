@@ -113,23 +113,26 @@ def _attention(p: Params, x: jax.Array, heads: int,
                size: Optional[jax.Array], ln_eps: float
                ) -> Tuple[jax.Array, jax.Array]:
     """timm attention + ToMe hooks: proportional attention with token sizes,
-    returns (out, metric = k.mean(heads)) (ref src/tome/patch/timm.py:74-107)."""
+    returns (out, metric = k.mean(heads)) (ref src/tome/patch/timm.py:74-107).
+
+    Routed through the heads-in-lanes Pallas kernel on TPU
+    (ops/pallas/attention.attention_wide): q/k/v stay [B, N, C] end to end —
+    no [B, H, N, hd] transposes or full [B, H, N, N] fp32 logits in HBM —
+    and ToMe's ``log(size)`` proportional-attention term rides the kernel's
+    per-key bias input. Plain einsum off-TPU (identical numerics)."""
+    from qa_tiger_tpu.ops.pallas.attention import attention_wide
+
     B, N, C = x.shape
     hd = C // heads
-    qkv = linear(p["qkv"], x).reshape(B, N, 3, heads, hd)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k,
-                        preferred_element_type=jnp.float32)
-    if size is not None:
-        logits = logits + jnp.log(size)[:, None, None, :, 0]
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    qkv = linear(p["qkv"], x)                        # [B, N, 3C]
+    # lanes are [3, heads, hd]-major: q/k/v are contiguous C-lane slices
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    key_bias = jnp.log(size)[:, :, 0] if size is not None else None
+    out = attention_wide(q, k, v, None, hd ** -0.5, heads,
+                         key_bias=key_bias)
     out = linear(p["proj"], out)
-    metric = jnp.mean(k, axis=1)  # [B, N, hd]
+    # k.mean over heads == mean over the [heads, hd] lane blocks
+    metric = jnp.mean(k.reshape(B, N, heads, hd), axis=2)  # [B, N, hd]
     return out, metric
 
 

@@ -232,6 +232,34 @@ def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
     out_ref[:] = jnp.concatenate(ctxs, axis=-1)
 
 
+def _wide_kb_kernel(q_ref, k_ref, v_ref, mask_ref, kb_ref, out_ref, *,
+                    heads, scale):
+    """_wide_kernel + a per-(element, key) additive bias row (ToMe's
+    proportional attention ``log(size)``, ref src/tome/patch/timm.py:99)."""
+    r, gsq, W = q_ref.shape
+    hd = W // heads
+    mask = mask_ref[0]                                    # [g*Sq, g*Sk]
+    kb = kb_ref[:]                                        # [r, g*Sk] fp32
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    ctxs = []
+    for h in range(heads):
+        qh = q[:, :, h * hd:(h + 1) * hd]
+        kh = k[:, :, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [r, gSq, gSk]
+        s = s + mask + kb[:, None, :]
+        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        ctxs.append(jax.lax.dot_general(
+            p, v[:, :, h * hd:(h + 1) * hd], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype))
+    out_ref[:] = jnp.concatenate(ctxs, axis=-1)
+
+
 def _wide_sizes(B, Sq, Sk, W, itemsize):
     """Pick (g = elements per packed problem, r = problems per grid step).
 
@@ -268,12 +296,15 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
                          mask: Optional[jax.Array],  # [Sq, Sk] additive
                          scale: float,
                          heads: int,
-                         interpret: Optional[bool] = None) -> jax.Array:
+                         interpret: Optional[bool] = None,
+                         key_bias: Optional[jax.Array] = None  # [B, Sk]
+                         ) -> jax.Array:
     """Multi-head attention without ever materializing per-head layouts.
 
     The [B*H, S, 64] form the classic kernel wants pads every (16, 128)
     VMEM tile to >2x its payload and costs three transposes in HBM; here
-    q/k/v stay [B, S, W] end to end.
+    q/k/v stay [B, S, W] end to end. ``key_bias`` adds a per-(element, key)
+    term to the logits (ToMe proportional attention).
     """
     B, Sq, W = q.shape
     Sk = k.shape[1]
@@ -289,17 +320,25 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
     kp = k.reshape(B // g, g * Sk, W)
     vp = v.reshape(B // g, g * Sk, W)
     n = (B // g) // r
+    io_specs = [
+        pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0)),
+        pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
+        pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, g * Sq, g * Sk), lambda i: (0, 0, 0)),
+    ]
+    args = [qp, kp, vp, base[None]]
+    if key_bias is None:
+        kernel = functools.partial(_wide_kernel, heads=heads, scale=scale)
+    else:
+        kernel = functools.partial(_wide_kb_kernel, heads=heads, scale=scale)
+        io_specs.append(pl.BlockSpec((r, g * Sk), lambda i: (i, 0)))
+        args.append(key_bias.astype(jnp.float32).reshape(B // g, g * Sk))
     out = pl.pallas_call(
-        functools.partial(_wide_kernel, heads=heads, scale=scale),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B // g, g * Sq, W), q.dtype),
         grid_spec=pl.GridSpec(
             grid=(n,),
-            in_specs=[
-                pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, g * Sq, g * Sk), lambda i: (0, 0, 0)),
-            ],
+            in_specs=io_specs,
             out_specs=pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0))),
         interpret=bool(interpret),
         cost_estimate=pl.CostEstimate(
@@ -307,15 +346,16 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * g * Sq * Sk,
         ),
-    )(qp, kp, vp, base[None])
+    )(*args)
     return out.reshape(B, Sq, W)
 
 
 def attention_wide(q, k, v, mask, scale, heads,
-                   interpret: Optional[bool] = None) -> jax.Array:
+                   interpret: Optional[bool] = None,
+                   key_bias: Optional[jax.Array] = None) -> jax.Array:
     """Dispatcher: wide Pallas kernel on TPU (batch divisible into packs),
     plain einsum reference elsewhere. Differentiable (VJP rematerializes
-    through the einsum formulation)."""
+    through the einsum formulation; mask and key_bias are constants)."""
     B = q.shape[0]
     # below ~4k query rows the fused kernel's launch overhead loses to the
     # plain einsum (measured on v5e: qst-attn/grounding Sq=1 cases)
@@ -323,12 +363,12 @@ def attention_wide(q, k, v, mask, scale, heads,
     usable = (_HAVE_PLTPU and B >= 2 and enough_work
               and (interpret or (interpret is None and _on_tpu(q))))
     if not usable:
-        return _wide_reference(q, k, v, mask, scale, heads)
-    return _aw(q, k, v, mask if mask is not None else None, scale, heads,
-               bool(interpret))
+        return _wide_reference(q, k, v, mask, scale, heads, key_bias)
+    return _aw(q, k, v, mask if mask is not None else None, key_bias,
+               scale, heads, bool(interpret))
 
 
-def _wide_reference(q, k, v, mask, scale, heads):
+def _wide_reference(q, k, v, mask, scale, heads, key_bias=None):
     B, Sq, W = q.shape
     Sk = k.shape[1]
     hd = W // heads
@@ -339,28 +379,32 @@ def _wide_reference(q, k, v, mask, scale, heads):
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
+    if key_bias is not None:
+        logits = logits + key_bias.astype(logits.dtype)[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v4,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return ctx.reshape(B, Sq, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _aw(q, k, v, mask, scale, heads, interpret):
-    return fused_attention_wide(q, k, v, mask, scale, heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _aw(q, k, v, mask, key_bias, scale, heads, interpret):
+    return fused_attention_wide(q, k, v, mask, scale, heads, interpret,
+                                key_bias)
 
 
-def _aw_fwd(q, k, v, mask, scale, heads, interpret):
-    return fused_attention_wide(q, k, v, mask, scale, heads, interpret), \
-        (q, k, v, mask)
+def _aw_fwd(q, k, v, mask, key_bias, scale, heads, interpret):
+    return fused_attention_wide(q, k, v, mask, scale, heads, interpret,
+                                key_bias), (q, k, v, mask, key_bias)
 
 
 def _aw_bwd(scale, heads, interpret, res, g):
-    q, k, v, mask = res
+    q, k, v, mask, key_bias = res
     _, vjp = jax.vjp(
-        lambda q, k, v: _wide_reference(q, k, v, mask, scale, heads), q, k, v)
+        lambda q, k, v: _wide_reference(q, k, v, mask, scale, heads,
+                                        key_bias), q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _aw.defvjp(_aw_fwd, _aw_bwd)

@@ -82,3 +82,47 @@ def test_mha_no_weights_path_matches_weights_path():
     assert w is not None
     np.testing.assert_allclose(np.asarray(out_nw), np.asarray(out_w),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,sq,W,heads", [(8, 77, 128, 4), (16, 14, 64, 2)])
+def test_wide_kernel_key_bias(B, sq, W, heads):
+    """ToMe proportional attention: log(size) per-key bias through the wide
+    kernel (covers both the g=1 and packed g>1 regimes)."""
+    from qa_tiger_tpu.ops.pallas.attention import (
+        _wide_reference,
+        attention_wide,
+    )
+
+    q, k, v = (jnp.asarray(rand(B, sq, W)) for _ in range(3))
+    sizes = jnp.asarray(1.0 + RNG.integers(0, 5, (B, sq)).astype(np.float32))
+    kb = jnp.log(sizes)
+    want = _wide_reference(q, k, v, None, 0.125, heads, kb)
+    got = attention_wide(q, k, v, None, 0.125, heads, interpret=True,
+                         key_bias=kb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wide_kernel_key_bias_grad():
+    from qa_tiger_tpu.ops.pallas.attention import (
+        _wide_reference,
+        attention_wide,
+    )
+
+    B, sq, W, heads = 4, 13, 64, 2
+    q, k, v = (jnp.asarray(rand(B, sq, W)) for _ in range(3))
+    kb = jnp.asarray(rand(B, sq))
+
+    def f_kernel(q, k, v):
+        return jnp.sum(jnp.square(attention_wide(
+            q, k, v, None, 0.2, heads, interpret=True, key_bias=kb)))
+
+    def f_ref(q, k, v):
+        return jnp.sum(jnp.square(_wide_reference(
+            q, k, v, None, 0.2, heads, kb)))
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
