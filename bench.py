@@ -49,6 +49,46 @@ def _batch(rng, b):
     }
 
 
+def _tspm_batch(rng, b):
+    # TSPM consumes precomputed CLIP question + QA-prompt features
+    # (reference src/models/tspm.py:347-400)
+    batch = _batch(rng, b)
+    batch["quest"] = rng.standard_normal((b, 768)).astype(np.float32)
+    batch["prompt"] = rng.standard_normal((b, 768)).astype(np.float32)
+    return batch
+
+
+def bench_tspm() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from qa_tiger_tpu.models.tspm import tspm_config, tspm_forward, tspm_init
+
+    cfg = tspm_config(topK=10, num_labels=42)
+    params = tspm_init(jax.random.PRNGKey(0), cfg)
+    dtype = jnp.dtype(EVAL_DTYPE)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    batch = {
+        k: (jnp.asarray(v).astype(dtype)
+            if np.issubdtype(v.dtype, np.floating) else jnp.asarray(v))
+        for k, v in _tspm_batch(np.random.default_rng(0), BATCH).items()
+    }
+    fwd = jax.jit(lambda p, b: tspm_forward(p, b, cfg, train=False)["out"])
+    np.asarray(fwd(params, batch))
+    for _ in range(WARMUP_ITERS):
+        np.asarray(fwd(params, batch))
+    rates = []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        for _ in range(BENCH_ITERS):
+            out = fwd(params, batch)
+        np.asarray(out)
+        rates.append(BATCH * BENCH_ITERS / (time.perf_counter() - start))
+    return float(np.median(rates))
+
+
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
@@ -160,6 +200,13 @@ def bench_torch_reference() -> float | None:
 
 
 def main():
+    if "--model" in sys.argv and "tspm" in sys.argv:
+        # secondary metric: TSPM baseline throughput (no torch denominator)
+        qps = bench_tspm()
+        print(json.dumps({
+            "metric": "tspm_qa_pairs_per_sec_per_chip",
+            "value": round(qps, 2), "unit": "qa/s"}))
+        return
     jax_qps = bench_jax()
     torch_qps = bench_torch_reference()
     measured = torch_qps is not None

@@ -87,6 +87,11 @@ def main():
         num_labels=len(vocab))
     platform = cfg.hyper_params.get("platform")
     devices = jax.devices(platform) if platform else jax.devices()
+    if platform:
+        # pin eager ops (PRNG init, host transfers) to the requested
+        # platform too — without this they land on the default backend
+        # even though the mesh is elsewhere (same fix as dryrun_multichip)
+        jax.config.update("jax_default_device", devices[0])
     runner = AVQARunner(cfg, model_cfg, init_fn, forward_fn, frozen,
                         mesh=make_mesh(n_devices=1, devices=devices),
                         seed=int(cfg.get("seed", 0)))

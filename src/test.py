@@ -46,6 +46,11 @@ def main():
     seed_everything(cfg.seed)
     platform = cfg.hyper_params.get("platform")
     devices = jax.devices(platform) if platform else jax.devices()
+    if platform:
+        # pin eager ops (PRNG init, host transfers) to the requested
+        # platform too — without this they land on the default backend
+        # even though the mesh is elsewhere (same fix as dryrun_multichip)
+        jax.config.update("jax_default_device", devices[0])
     # the data axis must divide the (per-host) batch sizes; use the largest
     # device count that does
     n = len(devices)
