@@ -185,6 +185,14 @@ def vit_forward(params: Params, images: jax.Array, *,
             if trace_source:
                 source = merge_source(merge, x, source)
             x, size = merge_wavg(merge, x, size)
+            # Fence the merged stream. Without this, XLA fuses the
+            # gather/scatter merge chain across layers and the axon
+            # backend hangs in compile (pure-jnp attention too) or
+            # faults the TPU worker once B*N crosses ~120*577 — bisected
+            # 2026-08-17: kernel->merge->kernel at B=120 crashes, same
+            # chain with a barrier after each merge runs clean. Costs
+            # nothing measurable at B=60 (430 f/s ToMe bench unchanged).
+            x, size = jax.lax.optimization_barrier((x, size))
         h = layer_norm(p["norm2"], x, eps=ln_eps)
         h = linear(p["mlp"]["fc2"], jax.nn.gelu(linear(p["mlp"]["fc1"], h),
                                                 approximate=False))

@@ -199,22 +199,21 @@ def fused_attention(q: jax.Array,   # [BH, Sq, dh]
     return _fa_masked(q, k, v, mask, scale, bh_tile, interpret)
 
 
-def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
+def _wide_body(q, k, v, out_ref, mask, kb, *, heads, scale):
     """Heads-in-lanes packed attention.
 
     Blocks arrive in the model's dense [r, g*Sq, W] / [r, g*Sk, W] layout
     (W = heads * dh lanes — full VMEM tiles, no transposes, no padded
     [B*H, S, dh] tensors in HBM). Heads are lane-slices; g batch elements
-    share one packed score matrix with mask_ref carrying both the
+    share one packed score matrix with ``mask`` carrying both the
     block-diagonal -inf structure and any within-element additive mask
-    (e.g. causal) — built once outside, constant across the grid.
-    """
-    r, gsq, W = q_ref.shape
+    (e.g. causal) — built once outside, constant across the grid. ``mask``
+    is None for unpacked (g=1) maskless attention — skipping the all-zero
+    block saves ~1 MB of scoped VMEM, the difference between fitting and
+    OOMing at the ToMe tower's [60, 5xx, 1024] shapes. ``kb`` is an
+    optional per-(element, key) bias (ToMe proportional attention)."""
+    r, gsq, W = q.shape
     hd = W // heads
-    mask = mask_ref[0]                                    # [g*Sq, g*Sk]
-    q = q_ref[:]
-    k = k_ref[:]
-    v = v_ref[:]
     ctxs = []
     for h in range(heads):
         qh = q[:, :, h * hd:(h + 1) * hd]
@@ -222,7 +221,10 @@ def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [r, gSq, gSk]
-        s = s + mask
+        if mask is not None:
+            s = s + mask
+        if kb is not None:
+            s = s + kb[:, None, :]
         s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -230,34 +232,28 @@ def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
             p, v[:, :, h * hd:(h + 1) * hd], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(out_ref.dtype))
     out_ref[:] = jnp.concatenate(ctxs, axis=-1)
+
+
+def _wide_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, heads, scale):
+    _wide_body(q_ref[:], k_ref[:], v_ref[:], out_ref, mask_ref[0], None,
+               heads=heads, scale=scale)
+
+
+def _wide_nomask_kernel(q_ref, k_ref, v_ref, out_ref, *, heads, scale):
+    _wide_body(q_ref[:], k_ref[:], v_ref[:], out_ref, None, None,
+               heads=heads, scale=scale)
 
 
 def _wide_kb_kernel(q_ref, k_ref, v_ref, mask_ref, kb_ref, out_ref, *,
                     heads, scale):
-    """_wide_kernel + a per-(element, key) additive bias row (ToMe's
-    proportional attention ``log(size)``, ref src/tome/patch/timm.py:99)."""
-    r, gsq, W = q_ref.shape
-    hd = W // heads
-    mask = mask_ref[0]                                    # [g*Sq, g*Sk]
-    kb = kb_ref[:]                                        # [r, g*Sk] fp32
-    q = q_ref[:]
-    k = k_ref[:]
-    v = v_ref[:]
-    ctxs = []
-    for h in range(heads):
-        qh = q[:, :, h * hd:(h + 1) * hd]
-        kh = k[:, :, h * hd:(h + 1) * hd]
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # [r, gSq, gSk]
-        s = s + mask + kb[:, None, :]
-        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        ctxs.append(jax.lax.dot_general(
-            p, v[:, :, h * hd:(h + 1) * hd], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype))
-    out_ref[:] = jnp.concatenate(ctxs, axis=-1)
+    _wide_body(q_ref[:], k_ref[:], v_ref[:], out_ref, mask_ref[0],
+               kb_ref[:][:, 0, :], heads=heads, scale=scale)
+
+
+def _wide_nomask_kb_kernel(q_ref, k_ref, v_ref, kb_ref, out_ref, *,
+                           heads, scale):
+    _wide_body(q_ref[:], k_ref[:], v_ref[:], out_ref, None,
+               kb_ref[:][:, 0, :], heads=heads, scale=scale)
 
 
 def _wide_sizes(B, Sq, Sk, W, itemsize):
@@ -309,13 +305,6 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
     B, Sq, W = q.shape
     Sk = k.shape[1]
     g, r = _wide_sizes(B, Sq, Sk, W, q.dtype.itemsize)
-    block_diag = jnp.kron(jnp.eye(g, dtype=jnp.float32),
-                          jnp.ones((Sq, Sk), jnp.float32)) > 0.5
-    base = jnp.where(block_diag, 0.0, -jnp.inf).astype(jnp.float32)
-    if mask is not None:
-        base = base + jnp.where(
-            jnp.isneginf(base), 0.0,
-            jnp.tile(mask.astype(jnp.float32), (g, g)))
     qp = q.reshape(B // g, g * Sq, W)
     kp = k.reshape(B // g, g * Sk, W)
     vp = v.reshape(B // g, g * Sk, W)
@@ -324,15 +313,41 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
         pl.BlockSpec((r, g * Sq, W), lambda i: (i, 0, 0)),
         pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
         pl.BlockSpec((r, g * Sk, W), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, g * Sq, g * Sk), lambda i: (0, 0, 0)),
     ]
-    args = [qp, kp, vp, base[None]]
-    if key_bias is None:
-        kernel = functools.partial(_wide_kernel, heads=heads, scale=scale)
-    else:
-        kernel = functools.partial(_wide_kb_kernel, heads=heads, scale=scale)
-        io_specs.append(pl.BlockSpec((r, g * Sk), lambda i: (i, 0)))
-        args.append(key_bias.astype(jnp.float32).reshape(B // g, g * Sk))
+    args = [qp, kp, vp]
+    need_mask = g > 1 or mask is not None
+    if need_mask:
+        block_diag = jnp.kron(jnp.eye(g, dtype=jnp.float32),
+                              jnp.ones((Sq, Sk), jnp.float32)) > 0.5
+        base = jnp.where(block_diag, 0.0, -jnp.inf).astype(jnp.float32)
+        if mask is not None:
+            base = base + jnp.where(
+                jnp.isneginf(base), 0.0,
+                jnp.tile(mask.astype(jnp.float32), (g, g)))
+        io_specs.append(pl.BlockSpec((1, g * Sq, g * Sk),
+                                     lambda i: (0, 0, 0)))
+        args.append(base[None])
+    if key_bias is not None:
+        # [B//g, 1, g*Sk]: the block's last two dims must be divisible by
+        # (8, 128) or equal the array dims — a middle singleton makes them
+        # equal for any r / Sk
+        io_specs.append(pl.BlockSpec((r, 1, g * Sk), lambda i: (i, 0, 0)))
+        args.append(
+            key_bias.astype(jnp.float32).reshape(B // g, 1, g * Sk))
+    kernel_fn = {
+        (True, False): _wide_kernel,
+        (False, False): _wide_nomask_kernel,
+        (True, True): _wide_kb_kernel,
+        (False, True): _wide_nomask_kb_kernel,
+    }[(need_mask, key_bias is not None)]
+    kernel = functools.partial(kernel_fn, heads=heads, scale=scale)
+    extra = {}
+    if _HAVE_PLTPU and not interpret:
+        # the default scoped-vmem limit is 16 MB; v5e has 128 MB of VMEM.
+        # Raising it lets Mosaic keep the larger [*, 5xx, 1024] ToMe blocks
+        # (and their fp32 score tiles) on-stack instead of failing to compile
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B // g, g * Sq, W), q.dtype),
@@ -346,6 +361,7 @@ def fused_attention_wide(q: jax.Array,   # [B, Sq, W]  (W = heads*dh, dense)
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * g * Sq * Sk,
         ),
+        **extra,
     )(*args)
     return out.reshape(B, Sq, W)
 

@@ -235,6 +235,25 @@ class AVQARunner:
         sums: Dict[str, float] = {}
         count = 0
         epoch_time = time.time()
+        pending: list = []  # (batch_idx, device-scalar losses) per step
+
+        def _drain(buf) -> Dict[str, float]:
+            """One host sync for the whole window: fetch every buffered
+            step's losses, update running sums + per-step TB scalars."""
+            if not buf:
+                return {}
+            host = jax.device_get([ld for _, ld in buf])
+            last: Dict[str, float] = {}
+            for (bi, _), ld in zip(buf, host):
+                last = {k: float(v) for k, v in ld.items()}
+                for k, v in last.items():
+                    sums[k] = sums.get(k, 0.0) + v
+                    if writer is not None:
+                        writer.add_scalar(
+                            f"train/loss/{k}", v,
+                            (epoch - 1) * (tot_batch + 1) + bi)
+            buf.clear()
+            return last
         # profile_dir config key or QA_TIGER_PROFILE_DIR env: capture a
         # jax.profiler device trace of steps 1-3 of the first epoch
         # (step 0 is compile) into <dir>, TensorBoard/Perfetto-viewable.
@@ -255,13 +274,11 @@ class AVQARunner:
                     jnp.float32(lr), rng)
                 self._global_step += 1
 
-                losses = {k: float(v) for k, v in losses.items()}
-                for k, v in losses.items():
-                    sums[k] = sums.get(k, 0.0) + v
-                    if writer is not None:
-                        writer.add_scalar(
-                            f"train/loss/{k}", v,
-                            (epoch - 1) * (tot_batch + 1) + batch_idx)
+                # keep the loss scalars ON DEVICE: a float() here would
+                # serialize dispatch against the ~20 ms step every batch
+                # (the reference host-syncs per batch, trainutils.py:276-287;
+                # the TPU-native form drains once per log window)
+                pending.append((batch_idx, losses))
                 count += 1
 
                 if prof_on and batch_idx == 3:
@@ -270,6 +287,7 @@ class AVQARunner:
                     logger.info(f"Profiler trace written to {prof_dir}")
 
                 if batch_idx % cfg.log_interval == 0 or batch_idx == tot_batch:
+                    last = _drain(pending)
                     batch_t = time.time() - start_time
                     elapsed = time.time() - epoch_time
                     avg_time = elapsed / (batch_idx + 1)
@@ -278,7 +296,7 @@ class AVQARunner:
                     ratio = 100.0 * batch_idx / max(tot_batch, 1)
                     loss_str = " ".join(
                         f"{k}-{v:.4f}({sums[k] / count:.4f})"
-                        for k, v in losses.items())
+                        for k, v in last.items())
                     logger.info(
                         f"[EST: {est:7.2f}m][Process Time: {batch_t:7.2f}s]"
                         f"- Epoch: {epoch} [{cur}/{tot_batch} ({ratio:3.0f}%)]"
@@ -287,6 +305,7 @@ class AVQARunner:
                 if cfg.debug and batch_idx == 10:
                     break
         finally:
+            _drain(pending)
             if prof_on:
                 jax.profiler.stop_trace()
 
