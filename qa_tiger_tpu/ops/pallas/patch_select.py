@@ -87,6 +87,47 @@ def _packed_heads_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype):
     return jnp.concatenate(ctxs, axis=-1)
 
 
+def _bdq_heads_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype):
+    """Query-side block-diagonal packed attention: one dot per stage.
+
+    Same math as `_packed_heads_attn`, but instead of looping heads (2
+    MXU ops per head — 16 tiny latency-bound dots for the cross
+    attention), the queries are tiled vertically with only head h's lane
+    block kept on row block h, so the scores land as ONE [H*Q, R] dot
+    (row softmax — no 3D reshape, which Mosaic cannot lower when
+    R % 128 != 0) and the context as one [H*Q, R] @ [R, D] dot.  The
+    head-h rows of the full-D context then select v's head-h lane block
+    via 8 cheap masked adds (VPU).  Measured exact (maxdiff 0.0) and
+    ~1 ms faster for the cross half at B=256; a LOSS for the self
+    attention, whose 8x score-FLOP inflation ([H*R, D] rows) outweighs
+    the pipelining win — keep the loop there.
+    """
+    Q, D = q2d.shape
+    R = k2d.shape[0]
+    hd = D // heads
+    q_t = jnp.concatenate([q2d] * heads, axis=0)            # [H*Q, D]
+    rh = jax.lax.broadcasted_iota(jnp.int32, (heads * Q, D), 0) // Q
+    ch = jax.lax.broadcasted_iota(jnp.int32, (heads * Q, D), 1) // hd
+    q_bd = jnp.where(rh == ch, q_t, jnp.zeros_like(q_t))
+    s = jax.lax.dot_general(
+        q_bd, k2d, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale         # [H*Q, R]
+    qf = (jax.lax.broadcasted_iota(jnp.int32, (heads * Q, R), 0) % Q) // sq
+    kf = jax.lax.broadcasted_iota(jnp.int32, (heads * Q, R), 1) // sk
+    s = jnp.where(qf == kf, s, -jnp.inf)
+    s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    e = jnp.exp(s)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    ctx_full = jax.lax.dot_general(
+        p, v2d, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [H*Q, D]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Q, D), 1) // hd
+    out = jnp.zeros((Q, D), jnp.float32)
+    for h in range(heads):
+        out = out + jnp.where(lane == h, ctx_full[h * Q:(h + 1) * Q], 0.0)
+    return out.astype(dtype)
+
+
 def _kernel(patch_ref, video_ref, audio_ref,
             slf_w_ref, slf_b_ref, slf_ow_ref, slf_ob_ref,
             crs_w_ref, crs_b_ref, crs_ow_ref, crs_ob_ref,
@@ -115,8 +156,8 @@ def _kernel(patch_ref, video_ref, audio_ref,
          + crs_b[:D]).astype(dt)                          # [tile*2, D]
     kv = (jnp.dot(x, crs_w[:, D:], preferred_element_type=jnp.float32)
           + crs_b[D:]).astype(dt)                         # [tile*P, 2D]
-    ctx = _packed_heads_attn(q, kv[:, :D], kv[:, D:],
-                             heads=heads, sq=2, sk=p, scale=scale, dtype=dt)
+    ctx = _bdq_heads_attn(q, kv[:, :D], kv[:, D:],
+                          heads=heads, sq=2, sk=p, scale=scale, dtype=dt)
     crs = (jnp.dot(ctx, crs_ow_ref[:], preferred_element_type=jnp.float32)
            + crs_ob_ref[0]).astype(dt)                    # [tile*2, D]
 
