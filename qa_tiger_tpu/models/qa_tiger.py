@@ -34,6 +34,7 @@ def qa_tiger_config(d_model: int = 512, video_dim: int = 512,
                     late_fusion: bool = False, nce_loss: bool = False,
                     gather_mode: str = "reference",
                     text_ctx: int | None = None,
+                    encoder_dtype: str | None = None,
                     **_unused) -> dict:
     """Model hyperparameters; defaults mirror QA_TIGER.__init__ signature
     (src/models/net.py:21-31); the shipped config overrides to
@@ -44,7 +45,7 @@ def qa_tiger_config(d_model: int = 512, video_dim: int = 512,
         audio_dim=audio_dim, topK=topK, num_experts=num_experts,
         num_labels=num_labels, encoder_type=encoder_type,
         nhead=8, sigma=9.0, dropout=0.1, gather_mode=gather_mode,
-        text_ctx=text_ctx,
+        text_ctx=text_ctx, encoder_dtype=encoder_dtype,
     )
 
 
@@ -103,6 +104,14 @@ def encode_question(params: Params, quest: jax.Array, cfg: dict):
         pooled, words = clip_text_encode(
             params["quest_encoder"], quest, encoder_type=cfg["encoder_type"]
         )
+        # the frozen tower may run at a different precision than the
+        # trainable head (AVQARunner keeps it bf16 on TPU, mirroring the
+        # reference's fp16-on-accelerator CLIP, src/models/clip.py:144-146);
+        # hand the trainable projections activations in THEIR dtype
+        tgt = params["quest_proj"]["proj"]["weight"].dtype
+        if pooled.dtype != tgt:
+            pooled = pooled.astype(tgt)
+            words = words.astype(tgt)
         return jax.lax.stop_gradient(pooled), jax.lax.stop_gradient(words)
     if quest.ndim == 3:
         quest = quest[:, 0]

@@ -114,12 +114,17 @@ def mha(params: Params,
         ctx = attention_wide(q, k, v, attn_mask, scale, num_heads)
         return linear(params["out_proj"], ctx), None
 
-    # [B, H, S, hd]
-    q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(B, Sk, num_heads, head_dim).transpose(0, 2, 1, 3)
+    # heads stay where the lane split puts them ([B, S, H, hd], a free
+    # reshape) and the einsums carry the head dim via dot_general batch
+    # dimensions — materializing [B, H, S, hd] with an explicit transpose
+    # forces XLA to emit real HBM layout copies of q/k/v AND their
+    # gradients (measured: the [1920,14,8,64] copies were the largest op
+    # class of the whole train step)
+    q = q.reshape(B, Sq, num_heads, head_dim)
+    k = k.reshape(B, Sk, num_heads, head_dim)
+    v = v.reshape(B, Sk, num_heads, head_dim)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
     if attn_mask is not None:
         logits = logits + attn_mask.astype(logits.dtype)
@@ -128,10 +133,10 @@ def mha(params: Params,
     probs_dropped = dropout(rng, probs, dropout_p, train)
 
     ctx = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs_dropped.astype(v.dtype), v,
+        "bhqk,bkhd->bqhd", probs_dropped.astype(v.dtype), v,
         preferred_element_type=matmul_pref(dt),
     ).astype(dt)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Sq, D)
+    ctx = ctx.reshape(B, Sq, D)
     out = linear(params["out_proj"], ctx)
 
     avg_weights = jnp.mean(probs, axis=1).astype(query.dtype)  # [B, Sq, Sk]

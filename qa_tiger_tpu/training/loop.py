@@ -81,6 +81,24 @@ class AVQARunner:
             init_params = init_fn(key, model_cfg)
         self.trainable, self.frozen = split_params(init_params, frozen_prefixes)
 
+        # Frozen-tower precision: the reference keeps CLIP half-precision on
+        # the accelerator and float32 only on CPU (src/models/clip.py:144-146
+        # calls .float() solely for device == 'cpu'), so its GPU training and
+        # eval both run the frozen text tower in fp16. bf16 is the TPU-native
+        # equivalent (same MXU speed, wider exponent). The fp32 MXU mode is
+        # 4x slower, and at the shipped train recipe (B=32 fp32) the frozen
+        # tower dominates the step — this single cast is the difference
+        # between ~20 ms and ~14 ms steps. model_cfg['encoder_dtype']
+        # overrides (e.g. 'float32' to force full precision on TPU; CPU
+        # meshes default to fp32 like the reference's CPU path, which is what
+        # the torch-parity tests compare against).
+        enc_dt = self.model_cfg.get("encoder_dtype")
+        if enc_dt is None and on_tpu:
+            enc_dt = "bfloat16"
+            self.model_cfg["encoder_dtype"] = enc_dt
+        self._frozen_dtype = jnp.dtype(enc_dt) if enc_dt else None
+        self.frozen = self._cast_frozen(self.frozen)
+
         optim_cfg = cfg.hyper_params.optim
         self.tx = make_optimizer(
             betas=tuple(optim_cfg.get("betas", (0.9, 0.999))),
@@ -354,6 +372,18 @@ class AVQARunner:
         return report["Total"]
 
     # ------------------------------------------------------------------
+    def _cast_frozen(self, frozen: Params) -> Params:
+        """Cast frozen-tower float leaves to the runner's encoder dtype
+        (see __init__; checkpoints always store fp32, the cast is applied
+        on every (re)load path)."""
+        if self._frozen_dtype is None:
+            return frozen
+        dt = self._frozen_dtype
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            frozen)
+
     def load_clip_text_weights(self, path: str) -> None:
         """Load a converted OpenAI CLIP checkpoint (.pt or .npz of the text
         tower) into the frozen ``quest_encoder`` — the counterpart of the
@@ -372,7 +402,8 @@ class AVQARunner:
             text_params = text_params.get("quest_encoder", text_params)
         # merge into the existing frozen dict — replacing it wholesale would
         # silently drop any other frozen tower sharing the pytree
-        new_frozen = {**self.frozen, "quest_encoder": text_params}
+        new_frozen = self._cast_frozen(
+            {**self.frozen, "quest_encoder": text_params})
         self.frozen = jax.device_put(
             new_frozen, param_shardings(new_frozen, self.mesh))
         self.logger.info(f"loaded frozen CLIP text tower from {path}")
@@ -401,6 +432,7 @@ class AVQARunner:
         self.trainable = jax.device_put(
             trainable, param_shardings(trainable, self.mesh))
         if frozen:
+            frozen = self._cast_frozen(frozen)
             self.frozen = jax.device_put(
                 frozen, param_shardings(frozen, self.mesh))
         self.opt_state = self.tx.init(self.trainable)

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--trace", default="", help="capture a jax.profiler "
+                    "device trace of 3 warm steps into this dir (summarize "
+                    "with scripts/trace_summary.py)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,12 @@ def main():
     for i in range(3):
         float(step(i)["total_loss"])
     print("# warmup done", file=sys.stderr, flush=True)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for i in range(3):
+                losses = step(1000 + i)
+            float(losses["total_loss"])
+        print(f"# trace written to {args.trace}", file=sys.stderr, flush=True)
     rates = []
     for rep in range(args.repeats):
         start = time.perf_counter()

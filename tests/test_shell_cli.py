@@ -78,6 +78,11 @@ def test_train_sh(workdir):
         env["JAX_PLATFORMS"] = plats + ",cpu"
     elif not plats:
         env["JAX_PLATFORMS"] = "cpu"
+    # tiny 1-layer smoke model: skip XLA's expensive optimization passes —
+    # same numerics, much cheaper compile on this 1-core host (the smoke
+    # tests previously ran within ~10% of their timeout under suite
+    # contention)
+    env.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
     result = subprocess.run(
         ["bash", "scripts/train.sh", str(workdir / "tiny.py"), "0"],
         cwd=REPO, capture_output=True, text=True, timeout=900, env=env)
@@ -116,6 +121,11 @@ def test_test_sh(workdir, tmp_path):
         env["JAX_PLATFORMS"] = plats + ",cpu"
     elif not plats:
         env["JAX_PLATFORMS"] = "cpu"
+    # tiny 1-layer smoke model: skip XLA's expensive optimization passes —
+    # same numerics, much cheaper compile on this 1-core host (the smoke
+    # tests previously ran within ~10% of their timeout under suite
+    # contention)
+    env.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
     out_dir = tmp_path / "eval"
     result = subprocess.run(
         ["bash", "scripts/test.sh", str(workdir / "tiny.py"), "0",

@@ -210,6 +210,46 @@ class TestEndToEnd:
                         jax.tree_util.tree_leaves(frozen_after)):
             np.testing.assert_array_equal(a, b)
 
+    def test_encoder_dtype_bf16_tower(self):
+        """model_cfg['encoder_dtype'] runs the frozen tower at reduced
+        precision — the reference's own accelerator behavior (CLIP stays
+        fp16 on GPU; .float() only on CPU, src/models/clip.py:144-146) —
+        while the trainable head stays fp32. AVQARunner applies it by
+        default on TPU meshes; here it's forced on CPU to check the
+        mechanics: frozen leaves are bf16, logits track the fp32 tower,
+        and a train step still runs."""
+        cfg = tiny_cfg()
+        mesh = make_mesh(1, devices=jax.devices("cpu"))
+        mc32 = qa_tiger_config(num_labels=42, **TINY)
+        r32 = AVQARunner(cfg, mc32, qa_tiger_init, qa_tiger_forward,
+                         FROZEN_PREFIXES, mesh=mesh, seed=0)
+        mc16 = qa_tiger_config(num_labels=42, encoder_dtype="bfloat16",
+                               **TINY)
+        r16 = AVQARunner(cfg, mc16, qa_tiger_init, qa_tiger_forward,
+                         FROZEN_PREFIXES, mesh=mesh, seed=0)
+        float_leaves = [np.asarray(x) for x in
+                        jax.tree_util.tree_leaves(r16.frozen)]
+        assert float_leaves
+        for leaf in float_leaves:
+            if np.issubdtype(leaf.dtype, np.floating) \
+                    or leaf.dtype == jnp.bfloat16:
+                assert leaf.dtype == jnp.bfloat16
+
+        batch = synth_batch(np.random.default_rng(3))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out32 = np.asarray(qa_tiger_forward(
+            r32.params, jb, r32.model_cfg, train=False)["out"])
+        out16 = np.asarray(qa_tiger_forward(
+            r16.params, jb, r16.model_cfg, train=False)["out"])
+        assert out16.dtype == out32.dtype == np.float32
+        np.testing.assert_allclose(out16, out32, atol=0.15, rtol=0.1)
+
+        dev = r16._device_batch(batch)
+        r16.trainable, r16.opt_state, losses = r16._train_step(
+            r16.trainable, r16.frozen, r16.opt_state, dev,
+            jnp.float32(1e-3), jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["total_loss"]))
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from qa_tiger_tpu.training import load_checkpoint, save_checkpoint
 
