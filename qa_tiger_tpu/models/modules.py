@@ -351,37 +351,117 @@ def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
     non-TPU backends use the jnp path below; gradients always rematerialize
     through it. Returns [a_patch, v_patch], each [B, T, D].
     """
-    if use_fused and not (train and dropout_p > 0.0 and rng is not None):
-        from qa_tiger_tpu.ops.pallas.patch_select import fused_patch_select
+    if use_fused:
+        if not (train and dropout_p > 0.0 and rng is not None):
+            from qa_tiger_tpu.ops.pallas.patch_select import (
+                fused_patch_select,
+            )
 
-        a_final, v_final = fused_patch_select(patch, audio, video, params,
-                                              nhead)
+            a_final, v_final = fused_patch_select(patch, audio, video,
+                                                  params, nhead)
+            return [a_final, v_final]
+        # train mode: sample the dropout realization ONCE (outside the
+        # kernels, with the functional PRNG — sharding-independent), then
+        # run the fused forward + fused hand-written backward
+        from qa_tiger_tpu.ops.pallas.patch_select import (
+            fused_patch_select_train,
+        )
+
+        B, T, P, D = patch.shape
+        masks = make_patch_dropout_masks(
+            next_rng(rng, 7), B * T, P, D, nhead=nhead, dropout_p=dropout_p,
+            dtype=patch.dtype)
+        a_final, v_final = fused_patch_select_train(patch, audio, video,
+                                                    params, masks, nhead)
         return [a_final, v_final]
     return patch_selecter_jnp(params, patch, audio, video, nhead=nhead,
                               dropout_p=dropout_p, train=train, rng=rng)
 
 
+def make_patch_dropout_masks(rng: jax.Array, BT: int, P: int, D: int,
+                             *, nhead: int, dropout_p: float,
+                             dtype=jnp.float32) -> dict:
+    """Sample the PatchSelecter's three dropout realizations ONCE per step,
+    in the fused kernel's 2D geometry, pre-scaled by 1/(1-p).
+
+    The train-mode fused kernel and its hand-written backward kernel (and
+    the masked jnp path the tests compare against) must all see the SAME
+    dropout masks, so they are sampled outside with jax.random and passed
+    in, instead of being drawn inside each path:
+
+    - ``slf`` [BT*P, pad128(H*P)]: entry (bt*P+qi, h*P+ki) masks the
+      self-attention probability (bt, head h, query patch qi, key patch ki),
+    - ``crs_v`` / ``crs_a`` [BT, pad128(H*P)]: the cross-attention
+      probability masks of the video-query and audio-query streams (the
+      kernels keep the two 1-token-per-frame query streams separate —
+      interleaving them costs Mosaic layout relayouts and nothing else),
+    - ``out_v`` / ``out_a`` [BT, D]: the pre-MLP dropout per stream.
+
+    Lane padding keeps Mosaic's 128-lane block constraint; padded lanes are
+    never read.
+    """
+    L = nhead * P
+    Lp = -(-L // 128) * 128
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    keep = 1.0 - dropout_p
+    scale = 1.0 / keep
+
+    def bern(k, shape):
+        return jax.random.bernoulli(k, keep, shape).astype(dtype) * scale
+
+    m_slf = bern(k1, (BT * P, L))
+    m_crs_v = bern(k2, (BT, L))
+    m_crs_a = bern(k3, (BT, L))
+    if Lp != L:
+        m_slf = jnp.pad(m_slf, ((0, 0), (0, Lp - L)))
+        m_crs_v = jnp.pad(m_crs_v, ((0, 0), (0, Lp - L)))
+        m_crs_a = jnp.pad(m_crs_a, ((0, 0), (0, Lp - L)))
+    return {"slf": m_slf, "crs_v": m_crs_v, "crs_a": m_crs_a,
+            "out_v": bern(k4, (BT, D)), "out_a": bern(k5, (BT, D))}
+
+
 def patch_selecter_jnp(params: Params, patch: jax.Array, audio: jax.Array,
                        video: jax.Array, *, nhead: int = 8,
                        dropout_p: float = 0.1, train: bool = False,
-                       rng: Optional[jax.Array] = None) -> List[jax.Array]:
+                       rng: Optional[jax.Array] = None,
+                       masks: Optional[dict] = None) -> List[jax.Array]:
     """The XLA-composed PatchSelecter: all T frames as one B*T batch of
-    attention problems — identical to the reference's reshape."""
+    attention problems — identical to the reference's reshape.
+
+    ``masks`` (from make_patch_dropout_masks) replaces the internal dropout
+    sampling with explicit multiplicative masks — the oracle the fused
+    train kernels are tested against."""
     B, T, P, D = patch.shape
-    patch_bt = patch.reshape(B * T, P, D)
-    audio_bt = audio.reshape(B * T, 1, D)
-    video_bt = video.reshape(B * T, 1, D)
+    BT = B * T
+    patch_bt = patch.reshape(BT, P, D)
+    audio_bt = audio.reshape(BT, 1, D)
+    video_bt = video.reshape(BT, 1, D)
+
+    L = nhead * P
+    pm_slf = pm_crs = None
+    if masks is not None:
+        pm_slf = masks["slf"][:, :L].reshape(BT, P, nhead, P) \
+            .transpose(0, 2, 1, 3)                     # [BT, H, P, P]
+        pm_crs = jnp.stack(
+            [masks["crs_v"][:, :L].reshape(BT, nhead, P),
+             masks["crs_a"][:, :L].reshape(BT, nhead, P)],
+            axis=2)                                    # [BT, H, 2, P]
 
     slf, _ = mha(params["slf_attn"], patch_bt, patch_bt, patch_bt,
                  num_heads=nhead, dropout_p=dropout_p, train=train,
-                 rng=next_rng(rng, 0), need_weights=False)
+                 rng=next_rng(rng, 0), need_weights=False, prob_mask=pm_slf)
     patch_bt = patch_bt + slf
 
     query = jnp.concatenate([video_bt, audio_bt], axis=1)  # [B*T, 2, D] video first
     crs, _ = mha(params["crs_attn"], query, patch_bt, patch_bt,
                  num_heads=nhead, dropout_p=dropout_p, train=train,
-                 rng=next_rng(rng, 1), need_weights=False)
-    out = mlp2(params["mlp"], dropout(next_rng(rng, 2), crs, dropout_p, train))
+                 rng=next_rng(rng, 1), need_weights=False, prob_mask=pm_crs)
+    if masks is not None:
+        crs = crs * jnp.stack([masks["out_v"], masks["out_a"]],
+                              axis=1).astype(crs.dtype)
+    else:
+        crs = dropout(next_rng(rng, 2), crs, dropout_p, train)
+    out = mlp2(params["mlp"], crs)
     v_rel, a_rel = out[:, 0], out[:, 1]
     a_final = a_rel.reshape(B, T, D)
     v_final = v_rel.reshape(B, T, D)

@@ -64,12 +64,18 @@ def mha(params: Params,
         rng: Optional[jax.Array] = None,
         attn_mask: Optional[jax.Array] = None,  # additive [Sq, Sk]
         need_weights: bool = True,
+        prob_mask: Optional[jax.Array] = None,  # multiplicative [B,H,Sq,Sk]
         ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Returns (attn_output [B, Sq, D], head-averaged weights [B, Sq, Sk]).
 
     ``need_weights=False`` (and no attention dropout active) routes through
     the fused Pallas attention kernel on TPU — probabilities stay in VMEM —
     and returns None for the weights. Numerics are identical either way.
+
+    ``prob_mask`` is an explicit multiplicative post-softmax mask (already
+    scaled by 1/(1-p)) replacing the internal dropout sampling — used by
+    the train-mode fused kernels, whose forward and backward must consume
+    the SAME dropout realization (see ops/pallas/patch_select.py).
     """
     B, Sq, D = query.shape
     Sk = key.shape[1]
@@ -106,7 +112,8 @@ def mha(params: Params,
 
     scale = 1.0 / math.sqrt(head_dim)
 
-    if not need_weights and (not train or dropout_p == 0.0 or rng is None):
+    if prob_mask is None and not need_weights \
+            and (not train or dropout_p == 0.0 or rng is None):
         # heads-in-lanes kernel: q/k/v stay in their dense [B, S, D] layout
         # (no head transposes, no padded [B*H, S, 64] HBM tensors)
         from qa_tiger_tpu.ops.pallas.attention import attention_wide
@@ -130,7 +137,10 @@ def mha(params: Params,
         logits = logits + attn_mask.astype(logits.dtype)
 
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    probs_dropped = dropout(rng, probs, dropout_p, train)
+    if prob_mask is not None:
+        probs_dropped = probs * prob_mask.astype(probs.dtype)
+    else:
+        probs_dropped = dropout(rng, probs, dropout_p, train)
 
     ctx = jnp.einsum(
         "bhqk,bkhd->bqhd", probs_dropped.astype(v.dtype), v,

@@ -19,7 +19,10 @@ from qa_tiger_tpu.ops.pallas.attention import (
     attention_wide,
     fused_attention_wide,
 )
-from qa_tiger_tpu.ops.pallas.patch_select import fused_patch_select
+from qa_tiger_tpu.ops.pallas.patch_select import (
+    fused_patch_select,
+    fused_patch_select_train,
+)
 
 RNG = np.random.default_rng(0)
 
@@ -131,11 +134,110 @@ class TestFusedPatchSelect:
                                        rtol=2e-3, atol=1e-4)
 
     def test_module_dispatch_train_uses_jnp_path(self):
-        """train + dropout must not hit the fused kernel (dropout on
-        attention probs only exists on the jnp path)."""
+        """train + dropout off-TPU falls back to the (masked) jnp path and
+        is deterministic in the rng."""
         params, patch, audio, video = self._setup(B=2, T=3)
         out = M.patch_selecter(params, patch, audio, video, nhead=8,
                                dropout_p=0.1, train=True,
                                rng=jax.random.PRNGKey(0), use_fused=True)
+        out2 = M.patch_selecter(params, patch, audio, video, nhead=8,
+                                dropout_p=0.1, train=True,
+                                rng=jax.random.PRNGKey(0), use_fused=True)
         assert out[0].shape == (2, 3, 64)
-        assert np.all(np.isfinite(np.asarray(out[0])))
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out2[0]))
+
+
+class TestFusedPatchSelectTrain:
+    """Train-mode fused forward + hand-written fused backward vs the
+    masked jnp oracle (identical dropout realization via explicit masks)."""
+
+    def _setup(self, B=3, T=5, P=14, D=64, p=0.1, seed=5):
+        cfg = qa_tiger_config(d_model=D, video_dim=D, patch_dim=48,
+                              audio_dim=32)
+        params = qa_tiger_init(jax.random.PRNGKey(0), cfg,
+                               init_text_encoder=False)["patch_selecter"]
+        patch = jnp.asarray(
+            RNG.standard_normal((B, T, P, D)).astype(np.float32))
+        audio = jnp.asarray(RNG.standard_normal((B, T, D)).astype(np.float32))
+        video = jnp.asarray(RNG.standard_normal((B, T, D)).astype(np.float32))
+        masks = M.make_patch_dropout_masks(
+            jax.random.PRNGKey(seed), B * T, P, D, nhead=8, dropout_p=p)
+        return params, patch, audio, video, masks
+
+    def test_forward_parity_vs_masked_jnp(self):
+        params, patch, audio, video, masks = self._setup()
+        a_ref, v_ref = M.patch_selecter_jnp(params, patch, audio, video,
+                                            nhead=8, masks=masks)
+        a_f, v_f = fused_patch_select_train(patch, audio, video, params,
+                                            masks, 8, 4, True)
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_ref),
+                                   rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
+                                   rtol=1e-5, atol=2e-6)
+
+    def test_allones_masks_match_eval_kernel(self):
+        params, patch, audio, video, _ = self._setup()
+        ones = M.make_patch_dropout_masks(
+            jax.random.PRNGKey(0), 15, 14, 64, nhead=8, dropout_p=0.0)
+        a_t, v_t = fused_patch_select_train(patch, audio, video, params,
+                                            ones, 8, 4, True)
+        a_e, v_e = fused_patch_select(patch, audio, video, params, 8, 4,
+                                      True)
+        np.testing.assert_allclose(np.asarray(a_t), np.asarray(a_e),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_e),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_fused_backward_matches_masked_jnp_grads(self):
+        params, patch, audio, video, masks = self._setup(B=2, T=3)
+
+        def loss_fused(pt, au, vi, pr):
+            a, v = fused_patch_select_train(pt, au, vi, pr, masks, 8, 4,
+                                            True)
+            return jnp.sum(a ** 2) + jnp.sum(jnp.sin(v))
+
+        def loss_ref(pt, au, vi, pr):
+            a, v = M.patch_selecter_jnp(pr, pt, au, vi, nhead=8, masks=masks)
+            return jnp.sum(a ** 2) + jnp.sum(jnp.sin(v))
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+            patch, audio, video, params)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            patch, audio, video, params)
+        for got, want in zip(jax.tree_util.tree_leaves(g_f),
+                             jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-3, atol=1e-4)
+
+    def test_ragged_padding_backward(self):
+        # B*T = 15, tile 4 -> padded rows must contribute zero gradient
+        params, patch, audio, video, masks = self._setup(B=3, T=5)
+
+        def loss_fused(pt):
+            a, v = fused_patch_select_train(pt, audio, video, params, masks,
+                                            8, 4, True)
+            return jnp.sum(a * v)
+
+        def loss_ref(pt):
+            a, v = M.patch_selecter_jnp(params, pt, audio, video, nhead=8,
+                                        masks=masks)
+            return jnp.sum(a * v)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fused)(patch)),
+            np.asarray(jax.grad(loss_ref)(patch)), rtol=2e-3, atol=1e-4)
+
+    def test_masked_jnp_equals_rng_free_eval_at_p0(self):
+        params, patch, audio, video, _ = self._setup()
+        ones = M.make_patch_dropout_masks(
+            jax.random.PRNGKey(1), 15, 14, 64, nhead=8, dropout_p=0.0)
+        a_m, v_m = M.patch_selecter_jnp(params, patch, audio, video,
+                                        nhead=8, masks=ones)
+        a_e, v_e = M.patch_selecter_jnp(params, patch, audio, video, nhead=8)
+        # all-ones masks route through the einsum path while masks=None
+        # takes the wide-attention fallback — same math, different op
+        # order, so agreement is fp32-rounding-level not bitwise
+        np.testing.assert_allclose(np.asarray(a_m), np.asarray(a_e),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_e),
+                                   rtol=1e-4, atol=1e-5)
