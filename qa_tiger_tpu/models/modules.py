@@ -363,16 +363,14 @@ def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
         # train mode: sample the dropout realization ONCE (outside the
         # kernels, with the functional PRNG — sharding-independent), then
         # run the fused forward + fused hand-written backward
-        from qa_tiger_tpu.ops.pallas.patch_select import (
-            fused_patch_select_train,
-        )
+        from qa_tiger_tpu.ops.pallas import patch_select as PS
 
         B, T, P, D = patch.shape
         masks = make_patch_dropout_masks(
             next_rng(rng, 7), B * T, P, D, nhead=nhead, dropout_p=dropout_p,
             dtype=patch.dtype)
-        a_final, v_final = fused_patch_select_train(patch, audio, video,
-                                                    params, masks, nhead)
+        a_final, v_final = PS.fused_patch_select_train(
+            patch, audio, video, params, masks, nhead, PS.TRAIN_TILE)
         return [a_final, v_final]
     return patch_selecter_jnp(params, patch, audio, video, nhead=nhead,
                               dropout_p=dropout_p, train=train, rng=rng)
