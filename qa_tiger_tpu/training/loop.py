@@ -155,9 +155,25 @@ class AVQARunner:
         return out
 
     def _train_step_impl(self, trainable, frozen, opt_state, batch, lr, rng):
+        # Opt-in mixed precision (hyper_params.train_dtype='bfloat16'):
+        # master weights and Adam moments stay fp32; the forward/backward
+        # COMPUTE runs in bf16 (the cast's VJP returns fp32 gradients
+        # automatically). The reference trains fp32 on GPU, so the default
+        # here is fp32 — this knob is the TPU-native speed mode (bf16 MXU
+        # is 4x the fp32 rate; see docs/PROFILE.md "Train step").
+        train_dt = self.cfg.hyper_params.get("train_dtype")
+        cast_dt = jnp.dtype(train_dt) if train_dt else None
+
+        def _cast(tree):
+            if cast_dt is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(cast_dt)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
         def loss_fn(tp, mb, mb_rng):
-            params = merge_params(tp, frozen)
-            out = self.forward_fn(params, mb, self.model_cfg,
+            params = merge_params(_cast(tp), frozen)
+            out = self.forward_fn(params, _cast(mb), self.model_cfg,
                                   train=True, rng=mb_rng)
             ce = masked_cross_entropy(out["out"], mb["label"], mb["valid"])
             losses = {"ce_loss": ce}

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Measured serving rate of the batch server (src/serve.py) under load.
+
+Builds a synthetic shipped-shape corpus (T=60 frames, [60,128] vggish /
+[60,768] clip / [60,14,1024] tome features), starts the Service in-process
+(the HTTP layer adds only JSON framing; the number that matters is the
+batcher + compiled-step rate), preloads the HBM-resident feature cache,
+then drives concurrent client threads through predict_many and reports
+QA-pairs/sec. The reference has no serving surface at all (its closest
+path is the offline split scorer, src/trainutils.py:397-462).
+
+Usage: python scripts/bench_serve.py [--batch 256] [--requests 4096]
+       [--threads 4] [--dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+T, P = 60, 14
+VIDEOS = [f"v{i:02d}" for i in range(8)]
+QUESTIONS = [
+    "How many instruments are playing in the video?",
+    "Is the ukulele louder than the cello?",
+    "Where is the first sounding instrument?",
+    "What is the instrument on the left of the piano?",
+]
+
+
+def build_corpus(root: Path):
+    data = root / "data"
+    rng = np.random.default_rng(0)
+    for sub, shape in (("vggish", (T, 128)), ("clip", (T, 768)),
+                       ("tome", (T, P, 1024))):
+        (data / sub).mkdir(parents=True)
+        for v in VIDEOS:
+            np.save(data / sub / f"{v}.npy",
+                    rng.standard_normal(shape).astype(np.float32))
+    answers = [str(i) for i in range(42)]
+    (data / "answer2idx.json").write_text(json.dumps(
+        {"ans2ix": {a: i for i, a in enumerate(answers)},
+         "max_que_len": 24}))
+    cfg = root / "serve_cfg.py"
+    cfg.write_text(f"""
+config = dict(
+    type='qa-tiger', seed=713, num_labels=42, weight='',
+    data=dict(root='{data.as_posix()}', num_frames={T},
+              frame_sample_rate=1, ans_quelen='answer2idx.json',
+              audio_feat='vggish', video_feat='clip', patch_feat='tome'),
+    hyper_params=dict(model_type='QA-TIGER_bench', model=dict(
+        d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
+        topK=7, num_experts=7, encoder_type='ViT-L/14@336px'),
+        optim=dict(lr=1e-4, betas=(0.95, 0.999), weight_decay=0),
+        sched=dict(name='StepLR', step_size=8, gamma=0.1)),
+)
+""")
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--requests", type=int, default=4096)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--device-cache", type=int, default=len(VIDEOS))
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg_path = build_corpus(Path(td))
+        sys.path.insert(0, (ROOT / "src").as_posix())
+        from serve import Service
+
+        svc = Service(SimpleNamespace(
+            config=str(cfg_path), weight="", batch_size=args.batch,
+            max_wait_ms=5.0, dtype=args.dtype,
+            device_cache=args.device_cache))
+        svc.ready.wait(timeout=1200)
+        assert svc.ready.is_set(), "service never became ready"
+
+        items = [{"question": QUESTIONS[i % len(QUESTIONS)],
+                  "video": VIDEOS[i % len(VIDEOS)]}
+                 for i in range(args.requests)]
+        # warm the device cache + both compiled paths
+        svc.predict_many(items[:args.batch], topk=1)
+
+        per_thread = args.requests // args.threads
+        done = []
+        lock = threading.Lock()
+
+        def client(tid):
+            chunk = items[tid * per_thread:(tid + 1) * per_thread]
+            out = svc.predict_many(chunk, topk=1)
+            with lock:
+                done.extend(out)
+
+        start = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(args.threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - start
+        qps = len(done) / dt
+        stats = dict(svc.stats)
+        svc.shutdown()
+        print(json.dumps({
+            "metric": "serving_qa_pairs_per_sec",
+            "value": round(qps, 1),
+            "unit": "qa/s",
+            "batch_size": args.batch,
+            "requests": len(done),
+            "threads": args.threads,
+            "cached_batches": stats.get("cached_batches", 0),
+            "batches": stats.get("batches", 0),
+            "avg_fill": round(stats["served"] / max(1, stats["rows"]), 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--train-dtype", default="",
+                    help="opt-in mixed precision, e.g. bfloat16 (fp32 "
+                         "master weights; bf16 compute streams)")
     ap.add_argument("--trace", default="", help="capture a jax.profiler "
                     "device trace of 3 warm steps into this dir (summarize "
                     "with scripts/trace_summary.py)")
@@ -65,6 +68,8 @@ def main():
             sched=dict(name="StepLR", step_size=8, gamma=0.1),
         ),
     ))
+    if args.train_dtype:
+        cfg.hyper_params.train_dtype = args.train_dtype
     model_cfg = qa_tiger_config(
         d_model=512, video_dim=768, patch_dim=1024, audio_dim=128,
         topK=7, num_experts=7, num_labels=42, encoder_type="ViT-L/14@336px")
@@ -123,8 +128,9 @@ def main():
         rates.append(args.iters / dt)
     sps = float(np.median(rates))
     print(json.dumps({
-        "metric": "train_steps_per_sec_b%d%s" % (
-            B, f"_accum{args.accum}" if args.accum > 1 else ""),
+        "metric": "train_steps_per_sec_b%d%s%s" % (
+            B, f"_accum{args.accum}" if args.accum > 1 else "",
+            f"_{args.train_dtype}" if args.train_dtype else ""),
         "value": round(sps, 3),
         "unit": "steps/s",
         "qa_pairs_per_sec": round(sps * B, 2),

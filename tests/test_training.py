@@ -250,6 +250,49 @@ class TestEndToEnd:
             jnp.float32(1e-3), jax.random.PRNGKey(0))
         assert np.isfinite(float(losses["total_loss"]))
 
+    def test_train_dtype_mixed_precision(self):
+        """hyper_params.train_dtype='bfloat16': master weights stay fp32
+        (the optimizer state too), gradients track the fp32 step's within
+        bf16 tolerance, and the loss still decreases."""
+        cfg = tiny_cfg()
+        cfg.hyper_params.train_dtype = "bfloat16"
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        mesh = make_mesh(1, devices=jax.devices("cpu"))
+        runner = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
+                            FROZEN_PREFIXES, mesh=mesh, seed=0)
+        cfg32 = tiny_cfg()
+        r32 = AVQARunner(cfg32, model_cfg, qa_tiger_init, qa_tiger_forward,
+                         FROZEN_PREFIXES, mesh=mesh, seed=0)
+        batch = synth_batch(np.random.default_rng(7))
+        db = runner._device_batch(batch)
+
+        losses = []
+        for i in range(6):
+            runner.trainable, runner.opt_state, ld = runner._train_step(
+                runner.trainable, runner.frozen, runner.opt_state, db,
+                jnp.float32(1e-2), jax.random.PRNGKey(i))
+            losses.append(float(ld["total_loss"]))
+        assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
+        for leaf in jax.tree_util.tree_leaves(runner.trainable):
+            if jnp.issubdtype(np.asarray(leaf).dtype, np.floating):
+                assert np.asarray(leaf).dtype == np.float32
+
+        # one step from identical init: bf16-compute params stay close to
+        # the fp32 step's (same rng -> same dropout draw)
+        db32 = r32._device_batch(batch)
+        t32, _, _ = r32._train_step(r32.trainable, r32.frozen, r32.opt_state,
+                                    db32, jnp.float32(1e-2),
+                                    jax.random.PRNGKey(0))
+        r16 = AVQARunner(cfg, model_cfg, qa_tiger_init, qa_tiger_forward,
+                         FROZEN_PREFIXES, mesh=mesh, seed=0)
+        t16, _, _ = r16._train_step(r16.trainable, r16.frozen, r16.opt_state,
+                                    db, jnp.float32(1e-2),
+                                    jax.random.PRNGKey(0))
+        for a, b in zip(jax.tree_util.tree_leaves(t16),
+                        jax.tree_util.tree_leaves(t32)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.15, atol=0.05)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from qa_tiger_tpu.training import load_checkpoint, save_checkpoint
 
