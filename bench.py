@@ -200,7 +200,15 @@ def bench_torch_reference() -> float | None:
 
 
 def main():
-    if "--model" in sys.argv and "tspm" in sys.argv:
+    args = sys.argv[1:]
+    model = "qa-tiger"
+    if "--model" in args:
+        model = args[args.index("--model") + 1]
+    else:
+        for a in args:
+            if a.startswith("--model="):
+                model = a.split("=", 1)[1]
+    if model == "tspm":
         # secondary metric: TSPM baseline throughput (no torch denominator)
         qps = bench_tspm()
         print(json.dumps({

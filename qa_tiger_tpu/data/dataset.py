@@ -42,6 +42,32 @@ def _resolve(root: Path, rel: Optional[str]) -> Optional[Path]:
     return p if p.is_absolute() else root / p
 
 
+def load_video_features(cfg_data, video_id: str,
+                        repo_root: Optional[Path] = None
+                        ) -> Dict[str, np.ndarray]:
+    """One video's cached feature arrays ({audio, video, patch} as present),
+    with the config's root resolution and ``frame_sample_rate`` subsampling
+    of the visual streams — the single loading contract shared by the
+    serving surfaces (src/predict.py, src/serve.py) and this dataset
+    (reference per-sample path: src/dataset.py:134-159)."""
+    root = Path(cfg_data.root)
+    if not root.is_absolute() and repo_root is not None:
+        root = Path(repo_root) / root
+    sr = int(cfg_data.get("frame_sample_rate", 1) or 1)
+    out: Dict[str, np.ndarray] = {}
+    for key, sub in (("audio", cfg_data.audio_feat),
+                     ("video", cfg_data.video_feat),
+                     ("patch", cfg_data.get("patch_feat"))):
+        if not sub:
+            continue
+        arr = np.load(_resolve(root, sub) / f"{video_id}.npy")
+        arr = arr.astype(np.float32)
+        if key in ("video", "patch"):
+            arr = arr[::sr]
+        out[key] = arr
+    return out
+
+
 class AVQADataset:
     """Sample-level access to an annotation split + cached feature dirs."""
 

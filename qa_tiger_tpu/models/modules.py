@@ -347,9 +347,12 @@ def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
     Eval path on TPU runs the whole module as ONE fused Pallas kernel
     (ops/pallas/patch_select.py) — separate XLA ops round-trip every
     intermediate through HBM and the tiny [*, 14, 64] attention layouts
-    waste most of each VMEM tile. Train mode (attention-prob dropout) and
-    non-TPU backends use the jnp path below; gradients always rematerialize
-    through it. Returns [a_patch, v_patch], each [B, T, D].
+    waste most of each VMEM tile. Train mode on TPU runs the fused TRAIN
+    kernels: the dropout realization is sampled once here as explicit
+    masks (make_patch_dropout_masks) consumed by both the fused forward
+    and the hand-written fused backward (_kernel_bwd). Non-TPU backends
+    use the (masked) jnp path below. Returns [a_patch, v_patch], each
+    [B, T, D].
     """
     if use_fused:
         if not (train and dropout_p > 0.0 and rng is not None):

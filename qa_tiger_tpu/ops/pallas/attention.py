@@ -415,12 +415,28 @@ def _aw_fwd(q, k, v, mask, key_bias, scale, heads, interpret):
 
 
 def _aw_bwd(scale, heads, interpret, res, g):
+    # mask and key_bias get REAL cotangents when they are arrays: key_bias
+    # is log(size) in ToMe proportional attention, and size is itself a
+    # differentiable function of the tokens (merge_wavg) — dropping its
+    # gradient here would silently zero d/d(size) on TPU while the off-TPU
+    # path propagates it. (None primals keep None cotangents.)
     q, k, v, mask, key_bias = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _wide_reference(q, k, v, mask, scale, heads,
-                                        key_bias), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    diff = [q, k, v] + [x for x in (mask, key_bias) if x is not None]
+
+    def f(*args):
+        qq, kk, vv = args[:3]
+        rest = list(args[3:])
+        m = rest.pop(0) if mask is not None else None
+        kb = rest.pop(0) if key_bias is not None else None
+        return _wide_reference(qq, kk, vv, m, scale, heads, kb)
+
+    _, vjp = jax.vjp(f, *diff)
+    grads = list(vjp(g))
+    dq, dk, dv = grads[:3]
+    rest = grads[3:]
+    dmask = rest.pop(0) if mask is not None else None
+    dkb = rest.pop(0) if key_bias is not None else None
+    return dq, dk, dv, dmask, dkb
 
 
 _aw.defvjp(_aw_fwd, _aw_bwd)
@@ -472,10 +488,9 @@ def _fa_masked_fwd(q, k, v, mask, scale, bh_tile, interpret):
 
 def _fa_masked_bwd(scale, bh_tile, interpret, res, g):
     q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference_impl(q, k, v, mask, scale),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None  # mask is constant
+    _, vjp = jax.vjp(lambda q, k, v, m: _reference_impl(q, k, v, m, scale),
+                     q, k, v, mask)
+    return vjp(g)
 
 
 _fa_masked.defvjp(_fa_masked_fwd, _fa_masked_bwd)

@@ -498,12 +498,21 @@ def _ah_fwd(x, params, mask, heads, interpret):
 
 
 def _ah_bwd(heads, interpret, res, g):
+    # mask gets a real cotangent when it is an array: a None cotangent for
+    # an array primal breaks custom_vjp pytree matching the moment the
+    # text tower is unfrozen (encoder_lr), and the additive mask does
+    # receive gradient mathematically.
     x, params, mask = res
+    if mask is None:
+        _, vjp = jax.vjp(
+            lambda x_, p_: _attn_half_jnp(p_, x_, heads=heads, mask=None),
+            x, params)
+        dx, dp = vjp(g)
+        return dx, dp, None
     _, vjp = jax.vjp(
-        lambda x_, p_: _attn_half_jnp(p_, x_, heads=heads, mask=mask),
-        x, params)
-    dx, dp = vjp(g)
-    return dx, dp, None
+        lambda x_, p_, m_: _attn_half_jnp(p_, x_, heads=heads, mask=m_),
+        x, params, mask)
+    return vjp(g)
 
 
 fused_attn_half.defvjp(_ah_fwd, _ah_bwd)
@@ -537,11 +546,16 @@ def _al_fwd(x, params, mask, heads, interpret):
 
 def _al_bwd(heads, interpret, res, g):
     x, params, mask = res
+    if mask is None:
+        _, vjp = jax.vjp(
+            lambda x_, p_: _attn_ln2_jnp(p_, x_, heads=heads, mask=None),
+            x, params)
+        dx, dp = vjp(g)
+        return dx, dp, None
     _, vjp = jax.vjp(
-        lambda x_, p_: _attn_ln2_jnp(p_, x_, heads=heads, mask=mask),
-        x, params)
-    dx, dp = vjp(g)
-    return dx, dp, None
+        lambda x_, p_, m_: _attn_ln2_jnp(p_, x_, heads=heads, mask=m_),
+        x, params, mask)
+    return vjp(g)
 
 
 fused_attn_ln2.defvjp(_al_fwd, _al_bwd)

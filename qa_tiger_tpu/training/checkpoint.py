@@ -25,9 +25,15 @@ def save_checkpoint(params: Dict[str, Any], path: str | Path,
                     exclude_prefixes: Iterable[str] = ("video_encoder",)
                     ) -> None:
     """Write params as best.npz with the reference's key filtering
-    (``video_encoder*`` stripped, src/train.py:75-79)."""
+    (``video_encoder*`` stripped, src/train.py:75-79).
+
+    Checkpoints always store fp32: np.savez round-trips ml_dtypes.bfloat16
+    arrays as raw void ``|V2`` blobs (unloadable), and on TPU meshes the
+    runner keeps the frozen tower in bf16 (loop.py ``encoder_dtype``) —
+    upcast here, re-cast on load (`AVQARunner._cast_frozen`)."""
     flat = nested_to_flat(jax.tree_util.tree_map(np.asarray, params))
-    flat = {k: v for k, v in flat.items()
+    flat = {k: (v.astype(np.float32) if v.dtype.kind not in "fiub" else v)
+            for k, v in flat.items()
             if not any(k.startswith(p) for p in exclude_prefixes)}
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

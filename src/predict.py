@@ -51,21 +51,10 @@ def parse_args():
 
 
 def load_features(cfg, video_id: str) -> dict:
-    root = Path(cfg.data.root)
-    if not root.is_absolute():
-        root = ROOT / root
-    sr = int(cfg.data.get("frame_sample_rate", 1) or 1)
-    out = {}
-    for key, sub in (("audio", cfg.data.audio_feat),
-                     ("video", cfg.data.video_feat),
-                     ("patch", cfg.data.get("patch_feat"))):
-        if not sub:
-            continue
-        arr = np.load(root / sub / f"{video_id}.npy").astype(np.float32)
-        if key in ("video", "patch"):
-            arr = arr[::sr]
-        out[key] = arr[None]  # batch of 1
-    return out
+    from qa_tiger_tpu.data.dataset import load_video_features
+
+    feats = load_video_features(cfg.data, video_id, repo_root=ROOT)
+    return {k: v[None] for k, v in feats.items()}  # batch of 1
 
 
 def main():

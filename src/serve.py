@@ -77,32 +77,29 @@ def parse_args():
 
 
 class FeatureStore:
-    """Loads + caches per-video feature arrays from the config's dirs."""
+    """Host-side cache over the shared per-video feature loading contract
+    (qa_tiger_tpu.data.dataset.load_video_features — one implementation for
+    the dataset, predict.py, and this server)."""
 
     def __init__(self, cfg):
+        self.cfg_data = cfg.data
         root = Path(cfg.data.root)
         if not root.is_absolute():
             root = ROOT / root
-        self.sr = int(cfg.data.get("frame_sample_rate", 1) or 1)
-        self.dirs = {}
-        for key, sub in (("audio", cfg.data.audio_feat),
-                         ("video", cfg.data.video_feat),
-                         ("patch", cfg.data.get("patch_feat"))):
-            if sub:
-                self.dirs[key] = root / sub
+        self.dirs = {k: root / sub for k, sub in
+                     (("audio", cfg.data.audio_feat),
+                      ("video", cfg.data.video_feat),
+                      ("patch", cfg.data.get("patch_feat"))) if sub}
         self._cache: dict = {}
         self._lock = threading.Lock()
 
     def get(self, video_id: str) -> dict:
+        from qa_tiger_tpu.data.dataset import load_video_features
+
         with self._lock:
             if video_id in self._cache:
                 return self._cache[video_id]
-        out = {}
-        for key, d in self.dirs.items():
-            arr = np.load(d / f"{video_id}.npy").astype(np.float32)
-            if key in ("video", "patch"):
-                arr = arr[:: self.sr]
-            out[key] = arr
+        out = load_video_features(self.cfg_data, video_id, repo_root=ROOT)
         with self._lock:
             if len(self._cache) > 4096:  # bound host memory
                 self._cache.clear()
@@ -185,10 +182,14 @@ class Service:
             def _insert(buf, row, slot):
                 return buf.at[slot].set(row)
 
-            self._insert = jax.jit(_insert, donate_argnums=(0,))
+            # NOT donated: in-flight cached forwards may still read the old
+            # buffer; .at[].set copies, and inserts are rare (cache fills
+            # once), so the copy is the price of lock-free forwards
+            self._insert = jax.jit(_insert)
 
         self.queue: "queue.Queue" = queue.Queue()
         self.ready = threading.Event()
+        self.failed: str | None = None
         self.stats = {"served": 0, "batches": 0, "rows": 0,
                       "cached_batches": 0}
         self._stop = threading.Event()
@@ -238,11 +239,12 @@ class Service:
             idx = np.array([r["slot"] for r in rows]
                            + [rows[0]["slot"]] * pad, np.int32)
             with self._cache_lock:
-                logits = self._forward_cached(
-                    self._params, self._dev_bufs, jnp.asarray(idx),
-                    jnp.asarray(quest))
-                probs = np.asarray(jax.nn.softmax(
-                    logits[:n].astype(jnp.float32), axis=-1))
+                bufs = self._dev_bufs  # snapshot; inserts swap in NEW
+                # buffers (non-donating .at[].set), old ones stay valid
+            logits = self._forward_cached(
+                self._params, bufs, jnp.asarray(idx), jnp.asarray(quest))
+            probs = np.asarray(jax.nn.softmax(
+                logits[:n].astype(jnp.float32), axis=-1))
             self.stats["cached_batches"] += 1
             return probs
         batch = {}
@@ -269,12 +271,27 @@ class Service:
         del bufs
 
     def _run(self):
-        # warmup compile with a full synthetic batch, then open for business
-        feats, tokens = self._example_rows()
-        self._step([{"tokens": tokens, "video": None, "slot": None,
-                     "feats": feats}] * self.batch_size)
-        if self.cache_cap:
-            self._warm_cached_path(feats)
+        # warmup compile with a full synthetic batch, then open for business.
+        # A failure here (corrupt feature file, OOM during the compile) must
+        # not silently kill the daemon thread — record it so /health and
+        # every pending future report the error instead of hanging.
+        try:
+            feats, tokens = self._example_rows()
+            self._step([{"tokens": tokens, "video": None, "slot": None,
+                         "feats": feats}] * self.batch_size)
+            if self.cache_cap:
+                self._warm_cached_path(feats)
+        except Exception as exc:
+            self.failed = f"{type(exc).__name__}: {exc}"
+            self.ready.set()  # unblock health checks; they report failure
+            while not self._stop.is_set():
+                try:
+                    _, fut = self.queue.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                fut["error"] = self.failed
+                fut["event"].set()
+            return
         self.ready.set()
         while not self._stop.is_set():
             try:
@@ -344,9 +361,6 @@ class Service:
                     for k, v in feats.items()}
             slot = len(self._dev_slots)
             for k, v in feats.items():
-                # donated in-place dynamic-update-slice; the lock (also held
-                # around the cached forward's dispatch+materialization)
-                # guarantees no in-flight computation holds the old buffer
                 self._dev_bufs[k] = self._insert(
                     self._dev_bufs[k], jnp.asarray(v, self.dtype), slot)
             self._dev_slots[video_id] = slot
@@ -409,7 +423,10 @@ def make_handler(service: Service):
 
         def do_GET(self):
             if self.path == "/health":
-                if service.ready.is_set():
+                if service.failed:
+                    self._send(500, {"status": "failed",
+                                     "error": service.failed})
+                elif service.ready.is_set():
                     self._send(200, {"status": "ok",
                                      "batch_size": service.batch_size})
                 else:

@@ -126,3 +126,26 @@ def test_wide_kernel_key_bias_grad():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_wide_kernel_key_bias_receives_grad():
+    """d/d(key_bias) must flow through the kernel path: key_bias is
+    log(size) in ToMe proportional attention and size is itself a
+    differentiable function of the tokens — the kernel VJP used to drop it
+    (returned None) while the off-TPU path propagated it."""
+    from qa_tiger_tpu.ops.pallas.attention import (
+        _wide_reference,
+        attention_wide,
+    )
+
+    B, sq, W, heads = 4, 13, 64, 2
+    q, k, v = (jnp.asarray(rand(B, sq, W)) for _ in range(3))
+    kb = jnp.asarray(rand(B, sq))
+
+    g_kernel = jax.grad(lambda b: jnp.sum(jnp.square(attention_wide(
+        q, k, v, None, 0.2, heads, interpret=True, key_bias=b))))(kb)
+    g_ref = jax.grad(lambda b: jnp.sum(jnp.square(_wide_reference(
+        q, k, v, None, 0.2, heads, b))))(kb)
+    assert float(jnp.max(jnp.abs(g_ref))) > 0  # the bias genuinely matters
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)

@@ -293,6 +293,23 @@ class TestEndToEnd:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0.15, atol=0.05)
 
+
+    def test_checkpoint_upcasts_bf16_leaves(self, tmp_path):
+        """np.savez round-trips ml_dtypes.bfloat16 as raw void '|V2' blobs,
+        and TPU runners keep the frozen tower bf16 (encoder_dtype) — so
+        save_checkpoint must upcast to fp32 or TPU-trained best.npz would
+        be unloadable."""
+        from qa_tiger_tpu.training import load_checkpoint, save_checkpoint
+
+        params = {"quest_encoder": {"w": jnp.ones((4, 4), jnp.bfloat16)},
+                  "head": {"w": jnp.full((2, 2), 0.5, jnp.float32)}}
+        path = tmp_path / "best.npz"
+        save_checkpoint(params, path, exclude_prefixes=())
+        loaded, _, _ = load_checkpoint(path)
+        got = loaded["quest_encoder"]["w"]
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, np.ones((4, 4), np.float32))
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from qa_tiger_tpu.training import load_checkpoint, save_checkpoint
 
