@@ -212,3 +212,52 @@ def test_concurrent_requests_match_direct_forward(served):
         raise AssertionError("expected HTTP error for unknown video")
     except urllib.error.HTTPError as e:
         assert e.code in (404, 500)
+
+
+def test_warmup_failure_surfaces(tmp_path):
+    """A corrupt feature file during warmup must not silently kill the
+    batcher thread: the Service records the error, /health semantics go
+    'failed', and queued requests fail fast instead of hanging 120 s."""
+    import sys as _sys
+    from types import SimpleNamespace
+
+    _sys.path.insert(0, str(REPO / "src"))
+    from serve import Service
+
+    import qa_tiger_tpu.models.clip_text as ct
+
+    ct.CLIP_TEXT_CONFIGS.setdefault(
+        "tiny-serve-f", dict(width=32, heads=4, layers=1, embed_dim=32))
+    data = tmp_path / "data"
+    (data / "vggish").mkdir(parents=True)
+    (data / "vggish" / "va.npy").write_bytes(b"not an npy file")
+    (data / "answer2idx.json").write_text(json.dumps(
+        {"ans2ix": {"one": 0, "two": 1}, "max_que_len": 24}))
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(f"""
+config = dict(
+    type='qa-tiger', seed=3, num_labels=2, weight='',
+    data=dict(root='{data.as_posix()}', num_frames={T}, frame_sample_rate=1,
+              ans_quelen='answer2idx.json', audio_feat='vggish',
+              video_feat=None, patch_feat=None),
+    hyper_params=dict(platform='cpu', model_type='QA-TIGER_tiny',
+        model=dict(d_model=32, video_dim=32, patch_dim=24, audio_dim=16,
+                   topK=2, num_experts=3, encoder_type='tiny-serve-f'),
+        optim=dict(lr=1e-3, betas=(0.95, 0.999), weight_decay=0),
+        sched=dict(name='StepLR', step_size=8, gamma=0.1)),
+)
+""")
+    svc = Service(SimpleNamespace(config=str(cfg), weight="", batch_size=2,
+                                  max_wait_ms=5.0, dtype="float32",
+                                  device_cache=0))
+    assert svc.ready.wait(timeout=300)
+    assert svc.failed is not None
+    # a queued request fails fast with the recorded error instead of
+    # hanging until the 120 s await timeout
+    import threading as _threading
+    fut = {"event": _threading.Event()}
+    svc.queue.put(({"tokens": np.zeros(20, np.int64), "video": "va",
+                    "slot": None, "feats": None}, fut))
+    with pytest.raises(RuntimeError):
+        svc._await(fut)
+    svc.shutdown()
