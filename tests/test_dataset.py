@@ -114,3 +114,26 @@ def test_template_substitution():
         "Where is the <FL> <Object>?", '["left", "piano"]'
     ) == "Where is the left piano?"
     assert substitute_template("Is there a sound?", "[]") == "Is there a sound?"
+
+
+def test_load_video_features_shared_contract(corpus):
+    """The single feature-loading contract used by the dataset, predict.py
+    and serve.py: per-key dirs, fp32, frame_sample_rate subsampling of the
+    visual streams only."""
+    from qa_tiger_tpu.data.dataset import load_video_features
+
+    cfg = make_cfg(corpus)
+    feats = load_video_features(cfg.data, VIDEOS[0])
+    assert set(feats) == {"audio", "video", "patch"}
+    assert feats["audio"].shape == (T, 128)
+    assert feats["video"].shape == (T, 768)
+    assert feats["patch"].shape == (T, P, 1024)
+    assert all(v.dtype == np.float32 for v in feats.values())
+
+    cfg2 = make_cfg(corpus)
+    cfg2.data.frame_sample_rate = 2
+    f2 = load_video_features(cfg2.data, VIDEOS[0])
+    assert f2["video"].shape == (T // 2, 768)
+    assert f2["patch"].shape == (T // 2, P, 1024)
+    assert f2["audio"].shape == (T, 128)  # audio is NOT subsampled
+    np.testing.assert_array_equal(f2["video"], feats["video"][::2])
