@@ -199,15 +199,18 @@ def bench_torch_reference() -> float | None:
         return None
 
 
-def main():
-    args = sys.argv[1:]
-    model = "qa-tiger"
+def parse_model(args) -> str:
+    """--model NAME or --model=NAME (default qa-tiger)."""
     if "--model" in args:
-        model = args[args.index("--model") + 1]
-    else:
-        for a in args:
-            if a.startswith("--model="):
-                model = a.split("=", 1)[1]
+        return args[args.index("--model") + 1]
+    for a in args:
+        if a.startswith("--model="):
+            return a.split("=", 1)[1]
+    return "qa-tiger"
+
+
+def main():
+    model = parse_model(sys.argv[1:])
     if model == "tspm":
         # secondary metric: TSPM baseline throughput (no torch denominator)
         qps = bench_tspm()

@@ -61,3 +61,16 @@ def test_compilation_cache_opt_in(tmp_path, monkeypatch):
     d = tmp_path / "jaxcache"
     assert enable_compilation_cache(str(d)) == str(d)
     assert d.is_dir()
+
+
+def test_bench_model_flag_parsing():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import parse_model
+
+    assert parse_model([]) == "qa-tiger"
+    assert parse_model(["--model", "tspm"]) == "tspm"
+    assert parse_model(["--model=tspm"]) == "tspm"
+    assert parse_model(["--other", "tspm"]) == "qa-tiger"
