@@ -241,3 +241,82 @@ class TestFusedPatchSelectTrain:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_e),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestTrainKernelGeometry:
+    """Shape/dtype generality of the train kernels (interpret mode): the
+    shipped config is P=14/H=8/D=512, but nothing in the mask geometry or
+    the backward derivation should be specific to it."""
+
+    @pytest.mark.parametrize("B,T,P,D,heads,tile,dtype", [
+        (2, 3, 7, 32, 4, 2, "float32"),     # odd P, fewer heads
+        (2, 5, 14, 64, 8, 4, "bfloat16"),   # bf16 streams
+        (1, 9, 4, 48, 2, 3, "float32"),     # B*T=9 vs tile=3, tiny P
+    ])
+    def test_fwd_and_grads_match_masked_jnp(self, B, T, P, D, heads, tile,
+                                            dtype):
+        import jax.numpy as jnp_
+
+        dt = jnp_.dtype(dtype)
+        rng = np.random.default_rng(B * 100 + P)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dt),
+            qa_tiger_init(jax.random.PRNGKey(1), qa_tiger_config(
+                d_model=D, video_dim=D, patch_dim=D, audio_dim=D),
+                init_text_encoder=False)["patch_selecter"])
+        patch = jnp.asarray(rng.standard_normal((B, T, P, D)), dt)
+        audio = jnp.asarray(rng.standard_normal((B, T, D)), dt)
+        video = jnp.asarray(rng.standard_normal((B, T, D)), dt)
+        masks = M.make_patch_dropout_masks(
+            jax.random.PRNGKey(2), B * T, P, D, nhead=heads, dropout_p=0.2,
+            dtype=dt)
+
+        def f_kernel(pt, au, vi, pr):
+            a, v = fused_patch_select_train(pt, au, vi, pr, masks, heads,
+                                            tile, True)
+            return jnp.sum(a.astype(jnp.float32) ** 2) \
+                + jnp.sum(v.astype(jnp.float32))
+
+        def f_ref(pt, au, vi, pr):
+            a, v = M.patch_selecter_jnp(pr, pt, au, vi, nhead=heads,
+                                        masks=masks)
+            return jnp.sum(a.astype(jnp.float32) ** 2) \
+                + jnp.sum(v.astype(jnp.float32))
+
+        tol = dict(rtol=2e-3, atol=1e-4) if dtype == "float32" \
+            else dict(rtol=0.1, atol=0.05)
+        np.testing.assert_allclose(
+            float(f_kernel(patch, audio, video, params)),
+            float(f_ref(patch, audio, video, params)), **tol)
+        g_k = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(
+            patch, audio, video, params)
+        g_r = jax.grad(f_ref, argnums=(0, 1, 2, 3))(
+            patch, audio, video, params)
+        if dtype == "float32":
+            for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                            jax.tree_util.tree_leaves(g_r)):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(b, np.float32), **tol)
+        else:
+            # bf16 streams: the gradients THROUGH the final LayerNorms are
+            # cancellation-dominated near-zero quantities (|gx| here is
+            # ~1000x smaller than the LN parameter grads), and the kernel
+            # keeps the LN input fp32 while the jnp path rounds it to bf16
+            # first — so those leaves legitimately diverge at bf16 (the
+            # fp32 case above pins the geometry exactly). Check the
+            # well-conditioned leaves tightly and the ill-conditioned ones
+            # for scale + finiteness.
+            k_leaves = jax.tree_util.tree_leaves(g_k)
+            r_leaves = jax.tree_util.tree_leaves(g_r)
+            scale = max(float(np.linalg.norm(np.asarray(b, np.float32)))
+                        for b in r_leaves)
+            for a, b in zip(k_leaves, r_leaves):
+                a = np.asarray(a, np.float32)
+                b = np.asarray(b, np.float32)
+                nb = float(np.linalg.norm(b))
+                assert np.all(np.isfinite(a))
+                if nb > 0.05 * scale:  # well-conditioned leaf
+                    assert float(np.linalg.norm(a - b)) / nb < 0.05, \
+                        f"grad rel-norm error {np.linalg.norm(a - b) / nb}"
+                else:  # cancellation-dominated: same near-zero scale
+                    assert float(np.linalg.norm(a)) < 0.1 * scale
