@@ -355,19 +355,15 @@ def patch_selecter(params: Params, patch: jax.Array, audio: jax.Array,
     [B, T, D].
     """
     if use_fused:
-        if not (train and dropout_p > 0.0 and rng is not None):
-            from qa_tiger_tpu.ops.pallas.patch_select import (
-                fused_patch_select,
-            )
+        from qa_tiger_tpu.ops.pallas import patch_select as PS
 
-            a_final, v_final = fused_patch_select(patch, audio, video,
-                                                  params, nhead)
+        if not (train and dropout_p > 0.0 and rng is not None):
+            a_final, v_final = PS.fused_patch_select(patch, audio, video,
+                                                     params, nhead)
             return [a_final, v_final]
         # train mode: sample the dropout realization ONCE (outside the
         # kernels, with the functional PRNG — sharding-independent), then
         # run the fused forward + fused hand-written backward
-        from qa_tiger_tpu.ops.pallas import patch_select as PS
-
         B, T, P, D = patch.shape
         masks = make_patch_dropout_masks(
             next_rng(rng, 7), B * T, P, D, nhead=nhead, dropout_p=dropout_p,

@@ -26,9 +26,12 @@ attention uses the block-diagonal -inf trick (ops/pallas/attention.py):
 cross-frame logits are exp(-inf) = 0, so the math is EXACTLY the reference's
 per-frame softmax.
 
-Eval-path only (train mode has dropout on attention probabilities and after
-the cross attention — the jnp path in models/modules.py handles it, and the
-custom VJP below rematerializes through that path for gradients).
+The EVAL kernel's custom VJP rematerializes gradients through the jnp
+path (dropout off). TRAIN mode has its own pair of kernels below
+(`_kernel_train` / `_kernel_bwd`): the dropout realization arrives as
+explicit masks (models.modules.make_patch_dropout_masks) shared by the
+fused forward, the hand-written fused backward, and the masked jnp
+oracle the tests pin both against.
 """
 from __future__ import annotations
 
@@ -307,7 +310,6 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
     dt = patch_ref.dtype
     scale = 1.0 / math.sqrt(hd)
     R = tile * p
-    Q = tile * 2
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -373,13 +375,16 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
     gv = gv_ref[:].astype(jnp.float32)
 
     def stream_fwd_bwd(src_ref, mcrs_ref, mout_ref, norm_w, g_up):
-        """Recompute one query stream's forward, backpropagate its half.
+        """Recompute one query stream's forward, backpropagate its half
+        (weight grads accumulate into the shared output refs in place).
 
-        Returns (g_src [tile, D], g_kv_contrib [R, 2D], xhat-recomputed
-        LN grads, and the per-stream weight-grad contributions)."""
+        Returns (g_src [tile, D], g_kv_contrib [R, 2D],
+        g_norm_weight [1, D], g_norm_bias [1, D])."""
         src = src_ref[:]
         mcrs = mcrs_ref[:]
         qc = (dot32(src, crs_w[:, :D]) + crs_b[:D]).astype(dt)
+        keeps = [_tile_keep(mcrs[:, h * p:(h + 1) * p], tile)
+                 .astype(jnp.float32) for h in range(heads)]
         Ps, Pds, ctx_parts = [], [], []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
@@ -389,9 +394,7 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
                 jnp.max(s, axis=-1, keepdims=True))
             e = jnp.exp(s)
             prob = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-            keep = _tile_keep(mcrs[:, h * p:(h + 1) * p], tile) \
-                .astype(prob.dtype)
-            pd = prob * keep
+            pd = prob * keeps[h].astype(dt)
             Ps.append(prob)
             Pds.append(pd)
             ctx_parts.append(dot32(pd, vc[:, sl]).astype(dt))
@@ -420,12 +423,10 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
         g_qc_parts, g_kc_parts, g_vc_parts = [], [], []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
-            keep = _tile_keep(mcrs[:, h * p:(h + 1) * p], tile) \
-                .astype(jnp.float32)
             gctx_h = g_ctx[:, sl]
             gPd = dot_abT(gctx_h, vc[:, sl])             # [tile, R]
             g_vc_parts.append(dotT_ab(Pds[h], gctx_h).astype(dt))
-            gP = gPd * keep
+            gP = gPd * keeps[h]
             prob = Ps[h].astype(jnp.float32)
             gS = prob * (gP - jnp.sum(gP * prob, axis=-1, keepdims=True))
             gS = gS.astype(dt)
