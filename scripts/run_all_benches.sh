@@ -1,0 +1,22 @@
+#!/bin/bash
+# Fire when the TPU tunnel is back: all on-chip benches, sequentially.
+set -u
+cd /root/repo
+echo "== tunnel check"
+timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/8113" || { echo "tunnel still dead"; exit 1; }
+echo "== bench.py (headline)"
+timeout 2200 python bench.py > /tmp/final_bench.log 2>&1
+echo "bench exit=$?"; grep -v WARNING /tmp/final_bench.log | tail -1
+echo "== bench_train default"
+timeout 1500 python scripts/bench_train.py > /tmp/final_train.log 2>&1
+echo "train exit=$?"; grep -v WARNING /tmp/final_train.log | tail -1
+echo "== bench_train bf16"
+timeout 1500 python scripts/bench_train.py --train-dtype bfloat16 > /tmp/final_train_bf16.log 2>&1
+echo "train-bf16 exit=$?"; grep -v WARNING /tmp/final_train_bf16.log | tail -1
+echo "== bench tspm"
+timeout 1200 python bench.py --model tspm > /tmp/final_tspm.log 2>&1
+echo "tspm exit=$?"; grep -v WARNING /tmp/final_tspm.log | tail -1
+echo "== bench_serve"
+timeout 2900 python scripts/bench_serve.py > /tmp/final_serve.log 2>&1
+echo "serve exit=$?"; grep -v WARNING /tmp/final_serve.log | tail -1
+echo "== ALL DONE"
