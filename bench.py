@@ -17,6 +17,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import socket
 import sys
 import time
 from pathlib import Path
@@ -199,6 +201,26 @@ def bench_torch_reference() -> float | None:
         return None
 
 
+def tunnel_alive(timeout: float = 5.0) -> bool:
+    """Bounded probe of the axon TPU tunnel (a stdio relay on 8082-8117).
+
+    When the relay dies, any jax backend resolution hangs forever inside the
+    axon plugin's connect-retry loop — so probe BEFORE importing jax and emit
+    a parseable diagnostic instead of timing out (round-3 BENCH failure mode).
+    Returns True when no tunnel is expected (pure-CPU env) or the relay
+    accepts a connection.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # no axon registration → nothing to hang on
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return True
+    try:
+        socket.create_connection(("127.0.0.1", 8113), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
 def parse_model(args) -> str:
     """--model NAME or --model=NAME (default qa-tiger)."""
     if "--model" in args:
@@ -211,6 +233,17 @@ def parse_model(args) -> str:
 
 def main():
     model = parse_model(sys.argv[1:])
+    if not tunnel_alive():
+        # One parseable JSON line instead of an infinite hang / traceback:
+        # the TPU tunnel is down, so the axon backend cannot initialize.
+        print(json.dumps({
+            "metric": "qa_pairs_per_sec_per_chip" if model != "tspm"
+            else "tspm_qa_pairs_per_sec_per_chip",
+            "value": None, "unit": "qa/s",
+            "error": "tpu tunnel down (127.0.0.1:8113 refused); "
+                     "axon backend unavailable — bench skipped",
+        }))
+        return
     if model == "tspm":
         # secondary metric: TSPM baseline throughput (no torch denominator)
         qps = bench_tspm()

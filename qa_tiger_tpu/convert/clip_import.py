@@ -46,10 +46,6 @@ def split_clip_state_dict(state_dict: Dict[str, Any]
                    if k.startswith("visual.")}
     text = state_dict_to_pytree(text_flat)
     vision = state_dict_to_pytree(vision_flat)
-    # bare-parameter leaves: conv1 has no bias and proj/embeddings are raw
-    # Parameters -> keep names exactly as the model modules expect
-    if "conv1" in vision and "weight" in vision["conv1"]:
-        pass
     return text, vision
 
 
