@@ -1,0 +1,22 @@
+# Full-recipe on-TPU training proof: the demo_synth recipe lengthened to 4
+# epochs so a mid-run kill + `resume` restart has real work on both sides of
+# the cut. Used by scripts/train_resume_proof.sh (which parameterizes the
+# output dir / resume source via env vars so one config serves the
+# uninterrupted run, the killed run, and the resumed run); see docs/PROFILE.md
+# ("Full-recipe training proof") for the recorded run.
+import importlib.util
+import os
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "demo_synth", Path(__file__).with_name("demo_synth.py"))
+_base = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_base)
+
+config = dict(_base.config)
+config.update(
+    epochs=4,
+    output_dir=os.environ.get('QA_PROOF_OUT', './outputs/demo_proof'),
+)
+if os.environ.get('QA_PROOF_RESUME'):
+    config['resume'] = os.environ['QA_PROOF_RESUME']

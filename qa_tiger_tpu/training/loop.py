@@ -122,7 +122,6 @@ class AVQARunner:
             self.opt_state, replicated_sharding(self.mesh))
         self._batch_sharding = batch_sharding(self.mesh)
         self._step_rng = jax.random.PRNGKey(seed + 1)
-        self._global_step = 0
         # microbatch gradient accumulation (an extension over the reference,
         # which always steps on the full batch): batch splits into
         # `grad_accum` sequential microbatches inside the jitted step
@@ -306,7 +305,6 @@ class AVQARunner:
                 self.trainable, self.opt_state, losses = self._train_step(
                     self.trainable, self.frozen, self.opt_state, batch,
                     jnp.float32(lr), rng)
-                self._global_step += 1
 
                 # keep the loss scalars ON DEVICE: a float() here would
                 # serialize dispatch against the ~20 ms step every batch
@@ -427,8 +425,13 @@ class AVQARunner:
     def train_state(self, **scalars) -> Dict[str, Any]:
         """Snapshot for full mid-training resume (params + Adam moments +
         host scalars) — a capability the reference's save-best-only flow
-        lacks (SURVEY.md §5 checkpoint/resume)."""
+        lacks (SURVEY.md §5 checkpoint/resume). The per-step dropout RNG
+        rides along as plain ints (it lands in the JSON meta), so a resumed
+        run continues the SAME randomness stream an uninterrupted run would
+        have seen — resume equality is bitwise, not just statistical."""
         return {"params": self.trainable, "opt_state": self.opt_state,
+                "step_rng": np.asarray(self._step_rng,
+                                       dtype=np.uint32).tolist(),
                 **scalars}
 
     def restore_train_state(self, state: Dict[str, Any]) -> Dict[str, Any]:
@@ -436,8 +439,10 @@ class AVQARunner:
             state["params"], param_shardings(state["params"], self.mesh))
         self.opt_state = jax.device_put(
             state["opt_state"], replicated_sharding(self.mesh))
+        if state.get("step_rng") is not None:
+            self._step_rng = jnp.asarray(state["step_rng"], dtype=jnp.uint32)
         return {k: v for k, v in state.items()
-                if k not in ("params", "opt_state")}
+                if k not in ("params", "opt_state", "step_rng")}
 
     @property
     def params(self) -> Params:

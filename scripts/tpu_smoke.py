@@ -1,0 +1,199 @@
+"""On-chip Pallas kernel smoke: every kernel, REAL Mosaic lowering, vs oracle.
+
+The interpret-mode parity suites (tests/test_pallas_*.py) pin the kernel math
+exactly on CPU, but a libtpu/Mosaic roll can break the real lowering without
+touching the math (exactly what round-1's MULTICHIP artifact hit). This script
+runs each kernel non-interpret at small shapes on the actual chip and compares
+against its jnp oracle computed on the same device, so a lowering regression
+surfaces as a NAMED failure here instead of a mystery in bench.py.
+
+Run:  python scripts/tpu_smoke.py            (< 5 min incl. Mosaic compiles)
+      python scripts/tpu_smoke.py --skip-train-bwd   (fastest, fwd-only)
+
+Exit 0 = all kernels green; 1 = failures (listed); 2 = no TPU visible.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+# the oracle is the same jnp math the interpret-mode tests pin; on-chip both
+# sides ride the MXU (fp32 dots default to bf16-pass precision), so agreement
+# is bf16-accumulation-level, not fp32-exact
+RTOL, ATOL = 2e-2, 2e-3
+
+
+def _report(name, got, want, t0, failures, rtol=RTOL, atol=ATOL):
+    got = [np.asarray(g, np.float32) for g in got]
+    want = [np.asarray(w, np.float32) for w in want]
+    err = max(float(np.max(np.abs(g - w) / (atol + rtol * np.abs(w))))
+              for g, w in zip(got, want))
+    ok = err <= 1.0 and all(np.all(np.isfinite(g)) for g in got)
+    print(f"{'PASS' if ok else 'FAIL'} {name:34s} "
+          f"rel-err {err:8.3f} ({time.perf_counter() - t0:6.1f}s)", flush=True)
+    if not ok:
+        failures.append(name)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-train-bwd", action="store_true",
+                    help="skip the (compile-heavy) fused train bwd kernel")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        print("no TPU device visible — this smoke needs the real chip")
+        return 2
+
+    from qa_tiger_tpu import nn as qnn
+    from qa_tiger_tpu.models import modules as M
+    from qa_tiger_tpu.models.qa_tiger import qa_tiger_config, qa_tiger_init
+    from qa_tiger_tpu.ops.pallas import attention as A
+    from qa_tiger_tpu.ops.pallas import gaussian_moe as G
+    from qa_tiger_tpu.ops.pallas import patch_select as PS
+    from qa_tiger_tpu.ops.pallas import resblock as R
+
+    rng = np.random.default_rng(0)
+    dev = jax.devices("tpu")[0]
+
+    def arr(*shape):
+        return jax.device_put(
+            rng.standard_normal(shape).astype(np.float32), dev)
+
+    failures: list[str] = []
+    t_all = time.perf_counter()
+
+    # ---- fused_attention (classic [BH, Sq, dh] layout) --------------------
+    q, k, v = arr(8, 16, 64), arr(8, 16, 64), arr(8, 16, 64)
+    scale = 64 ** -0.5
+    t0 = time.perf_counter()
+    got = A.fused_attention(q, k, v, None, scale, bh_tile=4, interpret=False)
+    _report("fused_attention", [got],
+            [A._reference_impl(q, k, v, None, scale)], t0, failures)
+
+    mask = jnp.triu(jnp.full((16, 16), -jnp.inf, jnp.float32), 1)
+    t0 = time.perf_counter()
+    got = A.fused_attention(q, k, v, mask, scale, bh_tile=4, interpret=False)
+    _report("fused_attention[causal]", [got],
+            [A._reference_impl(q, k, v, mask, scale)], t0, failures)
+
+    # ---- fused_attention_wide (heads-in-lanes, g=1 and packed g>1) --------
+    heads = 4
+    for tag, (b, sq, sk) in [("g>1", (8, 16, 16)), ("g=1", (4, 64, 64))]:
+        qw, kw, vw = arr(b, sq, 128), arr(b, sk, 128), arr(b, sk, 128)
+        t0 = time.perf_counter()
+        got = A.fused_attention_wide(qw, kw, vw, None, 0.125, heads,
+                                     interpret=False)
+        _report(f"fused_attention_wide[{tag}]", [got],
+                [A._wide_reference(qw, kw, vw, None, 0.125, heads)],
+                t0, failures)
+
+    qw, kw, vw = arr(8, 16, 128), arr(8, 16, 128), arr(8, 16, 128)
+    kb = jnp.log1p(jnp.abs(arr(8, 16)))
+    t0 = time.perf_counter()
+    got = A.fused_attention_wide(qw, kw, vw, None, 0.125, heads,
+                                 interpret=False, key_bias=kb)
+    _report("fused_attention_wide[key_bias]", [got],
+            [A._wide_reference(qw, kw, vw, None, 0.125, heads, kb)],
+            t0, failures)
+
+    # ---- fused_gaussian_moe ----------------------------------------------
+    B, T, D, E, H = 8, 12, 128, 4, 64
+    x = arr(B, T, D)
+    w1t, b1 = arr(E, D, H), arr(E, H)
+    w2t, b2 = arr(E, H, D), arr(E, D)
+    w = jax.nn.softmax(arr(B, E, T), axis=-1)
+    t0 = time.perf_counter()
+    got = G.fused_gaussian_moe(x, w1t, b1, w2t, b2, w, 8, interpret=False)
+    _report("fused_gaussian_moe", [got],
+            [G._reference_impl(x, w1t, b1, w2t, b2, w)], t0, failures)
+
+    # ---- resblock attention-half kernels (text-tower prod path) ----------
+    W = 128
+    key = jax.random.PRNGKey(0)
+    rb = {
+        "ln_1": qnn.layer_norm_init(W),
+        "ln_2": qnn.layer_norm_init(W),
+        "attn": qnn.mha_init(key, W),
+    }
+    # non-zero biases so the kernel's bias handling is actually exercised
+    rb["attn"]["in_proj_bias"] = arr(3 * W).ravel() * 0.1
+    rb["attn"]["out_proj"]["bias"] = arr(W).ravel() * 0.1
+    rb = jax.device_put(rb, dev)
+    xr = arr(4, 16, W)
+    cmask = jnp.triu(jnp.full((16, 16), -jnp.inf, jnp.float32), 1)
+    t0 = time.perf_counter()
+    got = R.fused_attn_half(xr, rb, cmask, 4, interpret=False)
+    _report("fused_attn_half", [got],
+            [R._attn_half_jnp(rb, xr, heads=4, mask=cmask)], t0, failures)
+
+    t0 = time.perf_counter()
+    y, ln2 = R.fused_attn_ln2(xr, rb, cmask, 4, interpret=False)
+    wy, wln2 = R._attn_ln2_jnp(rb, xr, heads=4, mask=cmask)
+    _report("fused_attn_ln2", [y, ln2], [wy, wln2], t0, failures)
+
+    # ---- fused_patch_select (eval) ----------------------------------------
+    Bp, Tp, P, Dp, nhead = 2, 8, 14, 128, 2
+    cfg = qa_tiger_config(d_model=Dp, video_dim=Dp, patch_dim=Dp,
+                          audio_dim=Dp)
+    ps = jax.device_put(
+        qa_tiger_init(jax.random.PRNGKey(1), cfg,
+                      init_text_encoder=False)["patch_selecter"], dev)
+    patch = arr(Bp, Tp, P, Dp)
+    audio, video = arr(Bp, Tp, Dp), arr(Bp, Tp, Dp)
+    t0 = time.perf_counter()
+    a_f, v_f = PS.fused_patch_select(patch, audio, video, ps, nhead, 4, False)
+    a_r, v_r = M.patch_selecter_jnp(ps, patch, audio, video, nhead=nhead)
+    _report("fused_patch_select[eval]", [a_f, v_f], [a_r, v_r], t0, failures)
+
+    # ---- fused_patch_select_train (fwd, then fwd+bwd) ----------------------
+    masks = M.make_patch_dropout_masks(jax.random.PRNGKey(2), Bp * Tp, P, Dp,
+                                       nhead=nhead, dropout_p=0.1)
+    masks = jax.device_put(masks, dev)
+    t0 = time.perf_counter()
+    a_t, v_t = PS.fused_patch_select_train(patch, audio, video, ps, masks,
+                                           nhead, 4, False)
+    a_m, v_m = PS._jnp_masked(patch, audio, video, ps, masks, nhead=nhead)
+    _report("fused_patch_select_train[fwd]", [a_t, v_t], [a_m, v_m],
+            t0, failures)
+
+    if not args.skip_train_bwd:
+        def loss_k(pt, pr):
+            a, v = PS.fused_patch_select_train(pt, audio, video, pr, masks,
+                                               nhead, 4, False)
+            return jnp.sum(a ** 2) + jnp.sum(v)
+
+        def loss_r(pt, pr):
+            a, v = PS._jnp_masked(pt, audio, video, pr, masks, nhead=nhead)
+            return jnp.sum(a ** 2) + jnp.sum(v)
+
+        t0 = time.perf_counter()
+        gk = jax.grad(loss_k, argnums=(0, 1))(patch, ps)
+        gr = jax.grad(loss_r, argnums=(0, 1))(patch, ps)
+        _report("fused_patch_select_train[bwd]",
+                jax.tree_util.tree_leaves(gk),
+                jax.tree_util.tree_leaves(gr), t0, failures,
+                # grads through LNs are cancellation-dominated; scale atol
+                # to the oracle's own magnitude instead of an absolute floor
+                atol=1e-2)
+
+    total = time.perf_counter() - t_all
+    if failures:
+        print(f"SMOKE FAILED ({len(failures)}): {', '.join(failures)} "
+              f"[{total:.0f}s]")
+        return 1
+    print(f"SMOKE OK — all kernels lower and match on-chip [{total:.0f}s]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,6 +129,17 @@ def main():
         best_acc = float(scalars.get("best_acc", 0.0))
         best_epoch = int(scalars.get("best_epoch", -1))
         logger.info(f"resumed from {resume_dir} at epoch {start_epoch}")
+        # carry the pre-cut best checkpoint into the new run dir: if no
+        # post-resume epoch beats best_acc, the final test stage below
+        # still needs save_dir/best.npz (it lives next to the resumed
+        # last_state in the ORIGINAL run dir)
+        prev_best = Path(resume_dir).parent / "best.npz"
+        if jax.process_index() == 0 and prev_best.exists() \
+                and not (save_dir / "best.npz").exists():
+            import shutil
+
+            shutil.copy2(prev_best, save_dir / "best.npz")
+            logger.info(f"carried over best checkpoint from {prev_best}")
 
     current_lr = optim_cfg.lr
     for epoch in range(start_epoch, cfg.epochs + 1):

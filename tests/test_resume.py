@@ -119,3 +119,25 @@ def test_async_orbax_save_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(r1.trainable),
                     jax.tree_util.tree_leaves(r2.trainable)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_rng_resumes_the_same_stream(tmp_path):
+    """The per-step dropout RNG rides in the checkpoint meta, so a resumed
+    run draws the SAME dropout keys an uninterrupted run would have —
+    without this, resume equality is only statistical."""
+    r1 = make_runner()
+    for _ in range(4):  # advance the stateful stream as train_epoch does
+        r1._step_rng, _ = jax.random.split(r1._step_rng)
+    save_train_state(r1.train_state(epoch=2, best_acc=1.0, best_epoch=2),
+                     tmp_path / "state")
+
+    r2 = make_runner(seed=0)
+    template = r2.train_state(epoch=0, best_acc=0.0, best_epoch=-1)
+    scalars = r2.restore_train_state(
+        load_train_state(tmp_path / "state", template))
+    assert "step_rng" not in scalars  # consumed, not leaked to the caller
+    np.testing.assert_array_equal(np.asarray(r1._step_rng),
+                                  np.asarray(r2._step_rng))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.split(r1._step_rng)[1]),
+        np.asarray(jax.random.split(r2._step_rng)[1]))
