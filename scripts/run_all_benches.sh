@@ -4,6 +4,9 @@ set -u
 cd /root/repo
 echo "== tunnel check"
 timeout 5 bash -c "echo > /dev/tcp/127.0.0.1/8113" || { echo "tunnel still dead"; exit 1; }
+echo "== tpu_smoke (on-chip kernel regression gate)"
+timeout 2400 python scripts/tpu_smoke.py > /tmp/final_smoke.log 2>&1
+echo "smoke exit=$?"; grep -v WARNING /tmp/final_smoke.log | tail -1
 echo "== bench.py (headline)"
 timeout 2200 python bench.py > /tmp/final_bench.log 2>&1
 echo "bench exit=$?"; grep -v WARNING /tmp/final_bench.log | tail -1
