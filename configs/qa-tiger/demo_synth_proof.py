@@ -1,9 +1,11 @@
-# Full-recipe on-TPU training proof: the demo_synth recipe lengthened to 4
-# epochs so a mid-run kill + `resume` restart has real work on both sides of
-# the cut. Used by scripts/train_resume_proof.sh (which parameterizes the
-# output dir / resume source via env vars so one config serves the
-# uninterrupted run, the killed run, and the resumed run); see docs/PROFILE.md
-# ("Full-recipe training proof") for the recorded run.
+# Full-recipe on-TPU training proof: the demo_synth recipe lengthened to 6
+# epochs so a mid-run SIGKILL + `resume` restart has real work on both sides
+# of the cut (post-compile epochs on the small demo corpus take only ~2 s
+# each — the extra epochs keep the kill window comfortably wider than the
+# watcher's 0.5 s poll). Used by scripts/train_resume_proof.sh (which
+# parameterizes the output dir / resume source via env vars so one config
+# serves the uninterrupted run, the killed run, and the resumed run); see
+# docs/PROFILE.md ("Full-recipe training proof") for the recorded run.
 import importlib.util
 import os
 from pathlib import Path
@@ -15,7 +17,7 @@ _spec.loader.exec_module(_base)
 
 config = dict(_base.config)
 config.update(
-    epochs=4,
+    epochs=6,
     output_dir=os.environ.get('QA_PROOF_OUT', './outputs/demo_proof'),
 )
 if os.environ.get('QA_PROOF_RESUME'):
