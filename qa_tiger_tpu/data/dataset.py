@@ -281,6 +281,8 @@ class BatchLoader:
                     [s["question_content"] for s in samples], truncate=True)
             batch["valid"] = np.concatenate(
                 [np.ones(len(idxs), bool), np.zeros(n_pad, bool)])
+            batch["ds_idx"] = np.asarray(
+                list(idxs) + [int(idxs[0])] * n_pad, np.int32)
             return batch
 
         items = [ds[int(i)] for i in idxs]
@@ -295,6 +297,11 @@ class BatchLoader:
                 batch[key] = np.stack([it[key] for it in items])
         batch["valid"] = np.concatenate(
             [np.ones(len(idxs), bool), np.zeros(n_pad, bool)])
+        # global dataset row per sample (pads repeat row 0 of the batch, like
+        # the sample padding above) — lets the runner's question cache gather
+        # precomputed tower features by row instead of re-encoding tokens
+        batch["ds_idx"] = np.asarray(
+            list(idxs) + [int(idxs[0])] * n_pad, np.int32)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

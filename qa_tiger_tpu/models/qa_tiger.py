@@ -80,12 +80,20 @@ def qa_tiger_init(key: jax.Array, cfg: dict,
     return params
 
 
-def encode_question(params: Params, quest: jax.Array, cfg: dict):
+def encode_question(params: Params, quest: jax.Array, cfg: dict,
+                    words: Optional[jax.Array] = None):
     """Resolve the question input into (quest [B, Dq], words [B, L, W] | None).
 
     Integer input = token ids -> frozen CLIP text tower (the reference's
     dtype-sniffing dispatch, src/models/net.py:94-100). Float input =
     precomputed question features (squeeze the length-1 axis).
+
+    ``words`` (float, optional): a cached frozen-tower word sequence riding
+    alongside a float ``quest`` — the AVQARunner question cache
+    (``hyper_params.cache_qst_features``) gathers both from a device-resident
+    per-dataset table so the frozen tower runs once per dataset instead of
+    once per step of every epoch. Treated exactly like the online tower's
+    output (same dtype cast, same stop_gradient).
 
     ``cfg["text_ctx"]`` (opt-in, default None = the reference's full 77):
     statically trims the token sequence before the tower. With the causal
@@ -115,7 +123,27 @@ def encode_question(params: Params, quest: jax.Array, cfg: dict):
         return jax.lax.stop_gradient(pooled), jax.lax.stop_gradient(words)
     if quest.ndim == 3:
         quest = quest[:, 0]
+    if words is not None:
+        tgt = params["quest_proj"]["proj"]["weight"].dtype
+        return (jax.lax.stop_gradient(quest.astype(tgt)),
+                jax.lax.stop_gradient(words.astype(tgt)))
     return quest, None
+
+
+def encode_question_tokens(params: Params, tokens: jax.Array, cfg: dict):
+    """The frozen-tower half of :func:`encode_question`, standalone — used by
+    ``AVQARunner.build_question_cache`` to precompute every question once.
+
+    Returns (pooled [N, Dq], words [N, L, W]) in the TOWER's dtype (the cast
+    to the trainable dtype happens at gather time inside encode_question, so
+    the cache stays bf16-compact on TPU). Honors the same opt-in
+    ``text_ctx`` static trim as the online path.
+    """
+    ctx = cfg.get("text_ctx")
+    if ctx and ctx < tokens.shape[1]:
+        tokens = tokens[:, :ctx]
+    return clip_text_encode(params["quest_encoder"], tokens,
+                            encoder_type=cfg["encoder_type"])
 
 
 def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
@@ -127,7 +155,8 @@ def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
     video [B,T,video_dim], patch [B,T,P,patch_dim]. Returns {'out': logits}.
     """
     nhead, dp = cfg["nhead"], cfg["dropout"]
-    quest, words = encode_question(params, batch["quest"], cfg)
+    quest, words = encode_question(params, batch["quest"], cfg,
+                                   words=batch.get("quest_words"))
 
     audio = M.projection(params["audio_proj"], batch["audio"])
     video = M.projection(params["video_proj"], batch["video"])

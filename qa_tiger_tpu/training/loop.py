@@ -122,6 +122,16 @@ class AVQARunner:
             self.opt_state, replicated_sharding(self.mesh))
         self._batch_sharding = batch_sharding(self.mesh)
         self._step_rng = jax.random.PRNGKey(seed + 1)
+        # opt-in question-feature cache (hyper_params.cache_qst_features):
+        # per-dataset device-resident (pooled, words) tables keyed by the
+        # dataset's id(); the active table is selected per loop from the
+        # loader's dataset and gathered by the batch's ds_idx in
+        # _device_batch. See build_question_cache.
+        self._qst_caches: Dict[int, Tuple[Any, Any]] = {}
+        self._active_qst_cache: Optional[Tuple[Any, Any]] = None
+        self._qst_gather = jax.jit(lambda cache, idx: (
+            jnp.take(cache[0], idx, axis=0),
+            jnp.take(cache[1], idx, axis=0)))
         # microbatch gradient accumulation (an extension over the reference,
         # which always steps on the full batch): batch splits into
         # `grad_accum` sequential microbatches inside the jitted step
@@ -132,6 +142,72 @@ class AVQARunner:
             partial(self._train_step_impl), donate_argnums=(0, 2)
         )
         self._eval_step = jax.jit(partial(self._eval_step_impl))
+
+    # ------------------------------------------------------------------
+    def build_question_cache_from_tokens(self, tokens: np.ndarray,
+                                         key: Any, chunk: int = 512) -> None:
+        """Encode token ids [N, L] through the frozen text tower ONCE and
+        keep (pooled [N, Dq], words [N, L, W]) resident on device under
+        ``key``; steps whose batches carry ``ds_idx`` then gather rows
+        instead of re-running the tower (see _device_batch).
+
+        TPU-first rationale: the tower is frozen, dropout-free, and
+        deterministic, so re-encoding the same questions every step of every
+        epoch buys nothing — the same reasoning under which the reference
+        precomputes its video/audio features offline. The cache stays in the
+        tower's dtype (bf16 on TPU meshes: ~79 KB/question for CLIP-L words),
+        cast to the trainable dtype at gather time exactly like the online
+        path. Removing the tower cuts the B=32 train step ~16.2 -> ~13 ms
+        (docs/PROFILE.md "Question cache").
+        """
+        from qa_tiger_tpu.models.qa_tiger import encode_question_tokens
+
+        toks = np.asarray(tokens)
+        n = toks.shape[0]
+        chunk = min(chunk, max(n, 1))
+        enc = jax.jit(lambda frozen, t: encode_question_tokens(
+            frozen, t, self.model_cfg))
+        pooled_parts, words_parts = [], []
+        for i in range(0, n, chunk):
+            t = toks[i:i + chunk]
+            pad = chunk - t.shape[0]
+            if pad:  # keep one executable: pad the tail chunk, slice after
+                t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)])
+            p, w = enc(self.frozen, jnp.asarray(t))
+            if pad:
+                p, w = p[:chunk - pad], w[:chunk - pad]
+            pooled_parts.append(p)
+            words_parts.append(w)
+        cache = (jnp.concatenate(pooled_parts), jnp.concatenate(words_parts))
+        cache = jax.device_put(cache, replicated_sharding(self.mesh))
+        self._qst_caches[key] = cache
+        self.logger.info(
+            f"question cache built: {n} questions, words "
+            f"{tuple(cache[1].shape)} {cache[1].dtype} "
+            f"({cache[1].nbytes / 1e6:.1f} MB resident)")
+
+    def build_question_cache(self, dataset, chunk: int = 512) -> bool:
+        """Build the question cache for ``dataset`` (tokenizer-mode only —
+        with precomputed quest features there is no tower to skip). Returns
+        True if a cache was built/exists."""
+        key = id(dataset)
+        if key in self._qst_caches:
+            return True
+        if getattr(dataset, "tokenizer", None) is None:
+            self.logger.info("question cache skipped: dataset serves "
+                             "precomputed question features")
+            return False
+        if "quest_encoder" not in self.frozen:
+            self.logger.info("question cache skipped: no frozen text tower")
+            return False
+        texts = [s["question_content"] for s in dataset.samples]
+        tokens = dataset.tokenizer(texts, truncate=True)
+        self.build_question_cache_from_tokens(tokens, key, chunk=chunk)
+        return True
+
+    def _select_qst_cache(self, loader) -> None:
+        self._active_qst_cache = self._qst_caches.get(
+            id(getattr(loader, "dataset", None)))
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -148,8 +224,13 @@ class AVQARunner:
                     f"{int(eot.max())}; raise text_ctx (tokenized questions "
                     "must fit, including SOT/EOT)")
         out = {}
+        cache = self._active_qst_cache
+        if cache is not None and "ds_idx" in batch:
+            idx = jax.device_put(np.asarray(batch["ds_idx"], np.int32),
+                                 self._batch_sharding)
+            out["quest"], out["quest_words"] = self._qst_gather(cache, idx)
         for k in BATCH_KEYS:
-            if k in batch and batch[k] is not None:
+            if k in batch and batch[k] is not None and k not in out:
                 out[k] = jax.device_put(batch[k], self._batch_sharding)
         return out
 
@@ -251,7 +332,7 @@ class AVQARunner:
                               if jnp.issubdtype(a.dtype, jnp.floating) else a)
             params = jax.tree_util.tree_map(cast, params)
             batch = {k: cast(v) if k in ("audio", "video", "patch", "quest",
-                                         "prompt") else v
+                                         "prompt", "quest_words") else v
                      for k, v in batch.items()}
         out = self.forward_fn(params, batch, self.model_cfg, train=False)
         ce = masked_cross_entropy(out["out"], batch["label"], batch["valid"])
@@ -263,6 +344,7 @@ class AVQARunner:
     def train_epoch(self, epoch: int, loader, lr: float, writer=None) -> None:
         cfg = self.cfg
         logger = self.logger
+        self._select_qst_cache(loader)
         loader.set_epoch(epoch)
         tot_batch = len(loader) - 1
         sums: Dict[str, float] = {}
@@ -342,6 +424,7 @@ class AVQARunner:
                 jax.profiler.stop_trace()
 
     def _run_eval(self, loader, debug: bool):
+        self._select_qst_cache(loader)
         ce_sum = 0.0
         cor = tot = 0
         cor9 = np.zeros(9, np.int64)

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cache-qst", action="store_true",
+                    help="opt-in question-feature cache "
+                         "(hyper_params.cache_qst_features): the frozen text "
+                         "tower is precomputed once; the step gathers rows")
     ap.add_argument("--train-dtype", default="",
                     help="opt-in mixed precision, e.g. bfloat16 (fp32 "
                          "master weights; bf16 compute streams)")
@@ -94,6 +98,12 @@ def main():
     # [32,60,14,1024]f32 = 110 MB) would measure the tunnel (9 s/step), not
     # the machine. Real TPU hosts feed over PCIe/DMA at GB/s; the train step
     # itself no longer donates batch buffers, so reuse is safe.
+    if args.cache_qst:
+        # one cache row per batch row; the per-step [B,77,768]bf16 gather
+        # (~3.8 MB of HBM reads, well under 0.05 ms) rides in _device_batch
+        runner.build_question_cache_from_tokens(host_batch["quest"], "bench")
+        runner._active_qst_cache = runner._qst_caches["bench"]
+        host_batch["ds_idx"] = np.arange(B, dtype=np.int32)
     dev_batch = runner._device_batch(host_batch)
 
     def step(i):
@@ -128,9 +138,10 @@ def main():
         rates.append(args.iters / dt)
     sps = float(np.median(rates))
     print(json.dumps({
-        "metric": "train_steps_per_sec_b%d%s%s" % (
+        "metric": "train_steps_per_sec_b%d%s%s%s" % (
             B, f"_accum{args.accum}" if args.accum > 1 else "",
-            f"_{args.train_dtype}" if args.train_dtype else ""),
+            f"_{args.train_dtype}" if args.train_dtype else "",
+            "_cacheqst" if args.cache_qst else ""),
         "value": round(sps, 3),
         "unit": "steps/s",
         "qa_pairs_per_sec": round(sps * B, 2),

@@ -16,6 +16,9 @@ echo "train exit=$?"; grep -v WARNING /tmp/final_train.log | tail -1
 echo "== bench_train bf16"
 timeout 1500 python scripts/bench_train.py --train-dtype bfloat16 > /tmp/final_train_bf16.log 2>&1
 echo "train-bf16 exit=$?"; grep -v WARNING /tmp/final_train_bf16.log | tail -1
+echo "== bench_train cached-question"
+timeout 1500 python scripts/bench_train.py --cache-qst > /tmp/final_train_cacheqst.log 2>&1
+echo "train-cacheqst exit=$?"; grep -v WARNING /tmp/final_train_cacheqst.log | tail -1
 echo "== bench tspm"
 timeout 1200 python bench.py --model tspm > /tmp/final_tspm.log 2>&1
 echo "tspm exit=$?"; grep -v WARNING /tmp/final_tspm.log | tail -1

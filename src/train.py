@@ -99,6 +99,12 @@ def main():
         logger.info(f"=> loaded successfully '{cfg.weight}'")
         runner.load_params(params)
     calculate_parameters(runner.params, frozen_prefixes=frozen)
+    if cfg.hyper_params.get("cache_qst_features"):
+        # precompute every split's question features through the (now fully
+        # loaded) frozen tower once; steps gather rows by ds_idx instead of
+        # re-running the tower every batch of every epoch
+        for loader in loaders.values():
+            runner.build_question_cache(loader.dataset)
 
     optim_cfg = cfg.hyper_params.optim
     sched_cfg = cfg.hyper_params.sched
@@ -193,6 +199,8 @@ def main():
             num_shards=jax.process_count())
         params, _, _ = load_checkpoint(save_dir / "best.npz", runner.params)
         runner.load_params(params)
+        if cfg.hyper_params.get("cache_qst_features"):
+            runner.build_question_cache(test_ds)
         runner.test(test_loader)
         if isinstance(cfg.data.get("test_annots"), (list, tuple)):
             for test_annot in cfg.data.test_annots:
@@ -203,6 +211,8 @@ def main():
                     ds, cfg.data.eval_batch_size // jax.process_count(),
                     shuffle=False, shard_id=jax.process_index(),
                     num_shards=jax.process_count())
+                if cfg.hyper_params.get("cache_qst_features"):
+                    runner.build_question_cache(ds)
                 runner.test(loader)
 
 

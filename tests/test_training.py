@@ -446,3 +446,91 @@ class TestEndToEnd:
             results[name] = ce
         assert results["single"] == pytest.approx(results["dp4"], abs=1e-4)
         assert results["single"] == pytest.approx(results["dp2tp2"], abs=1e-4)
+
+
+class TestQuestionCache:
+    """Opt-in question-feature cache (hyper_params.cache_qst_features):
+    the frozen tower runs once per dataset, steps gather rows by ds_idx.
+    Cached and online paths must agree — the tower is frozen, dropout-free
+    and deterministic, so only fp reduction-order noise separates them."""
+
+    def _runner(self, mesh=None):
+        cfg = tiny_cfg()
+        model_cfg = qa_tiger_config(num_labels=42, **TINY)
+        return AVQARunner(
+            cfg, model_cfg, qa_tiger_init, qa_tiger_forward, FROZEN_PREFIXES,
+            mesh=mesh or make_mesh(1, devices=jax.devices("cpu")), seed=0)
+
+    def test_train_and_eval_match_online(self):
+        rng = np.random.default_rng(7)
+        batches = [synth_batch(rng) for _ in range(3)]
+        tokens = np.concatenate([b["quest"] for b in batches])
+        for i, b in enumerate(batches):
+            b["ds_idx"] = np.arange(i * B, (i + 1) * B, dtype=np.int32)
+
+        results = {}
+        for cached in (False, True):
+            r = self._runner()
+            if cached:
+                # deliberately a different chunking than the batch size:
+                # per-row tower outputs must not depend on batch packing
+                r.build_question_cache_from_tokens(tokens, "ds", chunk=5)
+                r._active_qst_cache = r._qst_caches["ds"]
+            losses = []
+            for i, hb in enumerate(batches):
+                dev = r._device_batch(hb)
+                if cached:
+                    assert "quest_words" in dev and \
+                        dev["quest"].dtype != np.int64
+                r.trainable, r.opt_state, step_losses = r._train_step(
+                    r.trainable, r.frozen, r.opt_state, dev,
+                    jnp.float32(1e-3), jax.random.PRNGKey(i))
+                losses.append(float(step_losses["total_loss"]))
+            ce, cor, tot, _, _ = r._eval_step(
+                r.trainable, r.frozen, r._device_batch(batches[0]))
+            results[cached] = (losses, float(ce), int(cor), int(tot),
+                               jax.tree_util.tree_map(np.asarray, r.trainable))
+
+        np.testing.assert_allclose(results[True][0], results[False][0],
+                                   rtol=1e-5, atol=1e-6)
+        assert results[True][1] == pytest.approx(results[False][1], abs=1e-5)
+        assert results[True][2:4] == results[False][2:4]
+        for a, b in zip(jax.tree_util.tree_leaves(results[True][4]),
+                        jax.tree_util.tree_leaves(results[False][4])):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_dataset_cache_selected_per_loader(self):
+        """build_question_cache on a duck-typed dataset + the loop's
+        per-loader cache selection (train_epoch path)."""
+        from qa_tiger_tpu.data.tokenizer import ClipTokenizer
+
+        class DummyDS:
+            def __init__(self, texts):
+                self.samples = [{"question_content": t} for t in texts]
+                self.tokenizer = ClipTokenizer()
+
+        texts = [f"is the instrument number {i} playing?" for i in range(B)]
+        ds = DummyDS(texts)
+        r = self._runner()
+        assert r.build_question_cache(ds)
+        assert r.build_question_cache(ds)  # idempotent (cache hit)
+
+        rng = np.random.default_rng(11)
+        batch = synth_batch(rng)
+        batch["quest"] = np.asarray(ds.tokenizer(texts, truncate=True))
+        batch["ds_idx"] = np.arange(B, dtype=np.int32)
+        loader = FakeLoader([batch])
+        loader.dataset = ds
+        r.train_epoch(1, loader, lr=1e-3)          # selects + uses the cache
+        assert r._active_qst_cache is not None
+
+        # a loader over an uncached dataset deactivates it
+        other = FakeLoader([batch])
+        other.dataset = object()
+        r._select_qst_cache(other)
+        assert r._active_qst_cache is None
+
+        # precomputed-feature datasets are skipped
+        ds2 = DummyDS(texts)
+        ds2.tokenizer = None
+        assert not r.build_question_cache(ds2)
