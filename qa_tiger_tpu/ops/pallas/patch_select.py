@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -51,6 +52,27 @@ except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
 DEFAULT_TILE = 16  # frames per grid step; scores are [TILE*P, TILE*P] fp32
+# eval-kernel self attention: heads per score dot (see _headpack_attn).
+# Probe knob QA_TIGER_PSEL_HG; read once at import (kernels trace at call).
+SELF_HEAD_GROUP = int(os.environ.get("QA_TIGER_PSEL_HG", "1"))
+_ABLATE = os.environ.get("QA_TIGER_PSEL_ABLATE", "")  # probe-only knob
+# self-attention frame-pack split: 0 = auto (_self_splits), probe override
+SELF_COL_SPLIT = int(os.environ.get("QA_TIGER_PSEL_CS", "0"))
+
+
+def _self_splits(tile: int, p: int) -> int:
+    """Split the self-attention frame pack into 2 row/col chunks when the
+    chunks stay sublane-aligned (rows % 8 == 0). Measured on v5e at
+    tile=16, P=14: the [224, 224] per-head score block pads to 224x256
+    lanes with only 1/16 valid; two [112, 112->128] chunks halve both the
+    padded MAC volume and the fp32 s/e/p intermediate traffic —
+    standalone eval kernel 9.81 -> 9.08 ms (back-to-back A/B). splits=4/8
+    plateau (lane padding floor); head-packing is a measured LOSS (area
+    scales with the head group, see _headpack_attn)."""
+    n = tile * p
+    if tile % 2 == 0 and (n // 2) % 8 == 0:
+        return 2
+    return 1
 TRAIN_TILE = 16    # train fwd/bwd kernels: measured best (8: 17.6 ms,
                    # 16: 16.4 ms, 32: 19.9 ms train step at B=32)
 
@@ -68,8 +90,35 @@ def _tile_keep(keep_h, n_frames):
     return jnp.concatenate([keep_h] * n_frames, axis=1)
 
 
+def _split_packed_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype,
+                       splits, keep2d=None):
+    """_packed_heads_attn with the frame pack SPLIT into `splits` row/col
+    chunks per head.
+
+    The packed per-head score block at tile=16, P=14 is [224, 224]: 224
+    columns pad to 2 full lane tiles (256) and only the 16 diagonal
+    [14, 14] frame blocks are valid (1/16). The on-chip ablations
+    (docs/PROFILE.md round 4) show the self-attention cost scales with
+    score AREA (VMEM-resident fp32 intermediates + padded MXU tiles), not
+    dot count — so two [112, 112->128-lane] chunks halve both the padded
+    MAC volume and the s/e/p intermediate traffic at the price of 2x the
+    (cheap) dot issues. 112 = 14 sublane tiles, so the row slices stay
+    8-aligned. Requires (tile*P) % splits == 0 and tile % splits == 0.
+    """
+    Q = q2d.shape[0]
+    n = Q // splits
+    outs = []
+    for c in range(splits):
+        sl = slice(c * n, (c + 1) * n)
+        outs.append(_packed_heads_attn(
+            q2d[sl], k2d[sl], v2d[sl], heads=heads, sq=sq, sk=sk,
+            scale=scale, dtype=dtype,
+            keep2d=None if keep2d is None else keep2d[sl]))
+    return jnp.concatenate(outs, axis=0)
+
+
 def _packed_heads_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype,
-                       keep2d=None):
+                       keep2d=None, _skip_softmax=False):
     """Per-head block-diagonal packed attention, everything in registers.
 
     q2d [G*sq, D], k2d/v2d [G*sk, D] where G frames are packed along rows.
@@ -98,15 +147,85 @@ def _packed_heads_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype,
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = jnp.where(same, s, -jnp.inf)
-        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        if _skip_softmax:              # ablation probe only — wrong numerics
+            p = jnp.where(same, s * 0.1, 0.0).astype(dtype)
+        else:
+            s = jnp.where(same, s, -jnp.inf)
+            s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
         if keep2d is not None:
             keep_h = keep2d[:, h * sk:(h + 1) * sk]
             p = p * _tile_keep(keep_h, G).astype(p.dtype)
         ctxs.append(jnp.dot(p, vh, preferred_element_type=jnp.float32)
                     .astype(dtype))
+    return jnp.concatenate(ctxs, axis=-1)
+
+
+def _headpack_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype, hg,
+                   keep2d=None):
+    """`hg` heads per score dot, block-diagonal along ROWS.
+
+    The per-head self-attention dots are pure issue overhead at these
+    shapes (a [224, 64]x[64, 224] score dot is ~32 ns of MXU compute), so
+    the lever is DOT COUNT, not FLOPs. Stacking hg heads' q/k/v row-blocks
+    block-diagonally turns 2*heads dots into 2*heads/hg dots at hg^2 the
+    (trivial) FLOPs — unlike the full-D query-side packing (_bdq_heads_attn
+    applied to self attention), whose score contraction stays D-wide and
+    inflates REAL work 8x (the measured loss docs/PROFILE.md records).
+    The validity mask is (same frame) AND (same head block); contexts come
+    back as row blocks, one per head.
+
+    Row-stacking lane-slices directly trips Mosaic ("offset mismatch on
+    non-concat dimension"), so each head's slice is replicated hg-fold
+    (consistent offsets) and masked-summed into its row block.
+    """
+    D = q2d.shape[-1]
+    hd = D // heads
+    Q, R = q2d.shape[0], k2d.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hg * Q, hg * R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hg * Q, hg * R), 1)
+    valid = ((rows % Q) // sq == (cols % R) // sk) \
+        & (rows // Q == cols // R)
+
+    def blk(x2d, h0):
+        n = x2d.shape[0]
+        rb = jax.lax.broadcasted_iota(jnp.int32, (hg * n, hd), 0) // n
+        out = jnp.zeros((hg * n, hd), x2d.dtype)
+        for j in range(hg):
+            sl = x2d[:, (h0 + j) * hd:(h0 + j + 1) * hd]
+            out = out + jnp.where(rb == j,
+                                  jnp.concatenate([sl] * hg, axis=0),
+                                  jnp.zeros_like(sl[0, 0]))
+        return out
+
+    ctxs = [None] * heads
+    for h0 in range(0, heads, hg):
+        qb, kb, vb = blk(q2d, h0), blk(k2d, h0), blk(v2d, h0)
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [hg*Q, hg*R]
+        s = jnp.where(valid, s, -jnp.inf)
+        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        if keep2d is not None:
+            G = R // sk
+            rowb = jax.lax.broadcasted_iota(jnp.int32, (hg * Q, hg * R),
+                                            0) // Q
+            colb = jax.lax.broadcasted_iota(jnp.int32, (hg * Q, hg * R),
+                                            1) // R
+            keep_bd = jnp.zeros((hg * Q, hg * R), p.dtype)
+            for j in range(hg):
+                t = _tile_keep(keep2d[:, (h0 + j) * sk:(h0 + j + 1) * sk], G)
+                t_big = jnp.concatenate(
+                    [jnp.concatenate([t] * hg, axis=0)] * hg, axis=1)
+                keep_bd = keep_bd + jnp.where(
+                    (rowb == j) & (colb == j), t_big.astype(p.dtype), 0)
+            p = p * keep_bd
+        ctx = jnp.dot(p, vb, preferred_element_type=jnp.float32)  # [hg*Q, hd]
+        for j in range(hg):
+            ctxs[h0 + j] = ctx[j * Q:(j + 1) * Q].astype(dtype)
     return jnp.concatenate(ctxs, axis=-1)
 
 
@@ -180,8 +299,25 @@ def _kernel(patch_ref, video_ref, audio_ref,
     # --- self attention over each frame's P patches ---
     qkv = (jnp.dot(x, slf_w_ref[:], preferred_element_type=jnp.float32)
            + slf_b_ref[0]).astype(dt)                    # [tile*P, 3D]
-    slf = _packed_heads_attn(qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
-                             heads=heads, sq=p, sk=p, scale=scale, dtype=dt)
+    splits = SELF_COL_SPLIT or _self_splits(tile, p)
+    if _ABLATE == "noself":        # probe: whole self-attn block share
+        slf = qkv[:, :D]
+    elif _ABLATE == "nosoftmax":   # probe: softmax share (wrong numerics)
+        slf = _packed_heads_attn(
+            qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+            heads=heads, sq=p, sk=p, scale=scale, dtype=dt, _skip_softmax=True)
+    elif SELF_HEAD_GROUP > 1:      # probe: measured LOSS, kept as evidence
+        slf = _headpack_attn(qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+                             heads=heads, sq=p, sk=p, scale=scale, dtype=dt,
+                             hg=SELF_HEAD_GROUP)
+    elif splits > 1:
+        slf = _split_packed_attn(qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+                                 heads=heads, sq=p, sk=p, scale=scale,
+                                 dtype=dt, splits=splits)
+    else:
+        slf = _packed_heads_attn(
+            qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+            heads=heads, sq=p, sk=p, scale=scale, dtype=dt)
     x = x + (jnp.dot(slf, slf_ow_ref[:], preferred_element_type=jnp.float32)
              + slf_ob_ref[0]).astype(dt)
 
@@ -234,9 +370,15 @@ def _kernel_train(patch_ref, video_ref, audio_ref,
     x = patch_ref[:]
     qkv = (jnp.dot(x, slf_w_ref[:], preferred_element_type=jnp.float32)
            + slf_b_ref[0]).astype(dt)
-    slf = _packed_heads_attn(qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
-                             heads=heads, sq=p, sk=p, scale=scale, dtype=dt,
-                             keep2d=mslf_ref[:])
+    splits = SELF_COL_SPLIT or _self_splits(tile, p)
+    if splits > 1:
+        slf = _split_packed_attn(qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:],
+                                 heads=heads, sq=p, sk=p, scale=scale,
+                                 dtype=dt, splits=splits, keep2d=mslf_ref[:])
+    else:
+        slf = _packed_heads_attn(
+            qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:], heads=heads,
+            sq=p, sk=p, scale=scale, dtype=dt, keep2d=mslf_ref[:])
     x = x + (jnp.dot(slf, slf_ow_ref[:], preferred_element_type=jnp.float32)
              + slf_ob_ref[0]).astype(dt)
 
@@ -339,26 +481,39 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
     qkv = (dot32(x0, slf_w) + slf_b_ref[0]).astype(dt)
     q1, k1, v1 = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // p
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // p
-    same1 = rows == cols
+    # chunked like the forward kernels (_self_splits): the per-head score
+    # blocks, their softmax intermediates, and the backward's gPd/gS all
+    # scale with AREA, so nsp=2 halves the padded tiles and the VMEM-resident
+    # prob/pd arrays carried across the cross-attention streams
+    nsp = SELF_COL_SPLIT or _self_splits(tile, p)
+    ch = R // nsp
+    chunks = [slice(c * ch, (c + 1) * ch) for c in range(nsp)]
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0) // p
+    cols_l = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1) // p
+    same1 = rows_l == cols_l
     mslf = mslf_ref[:]
 
-    P1s, Pd1s, slf_parts = [], [], []
+    P1s = [[None] * nsp for _ in range(heads)]
+    Pd1s = [[None] * nsp for _ in range(heads)]
+    slf_parts = []
     for h in range(heads):
-        qh = q1[:, h * hd:(h + 1) * hd]
-        kh = k1[:, h * hd:(h + 1) * hd]
-        s = dot_abT(qh, kh) * scale
-        s = jnp.where(same1, s, -jnp.inf)
-        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s)
-        prob = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-        keep = _tile_keep(mslf[:, h * p:(h + 1) * p], tile).astype(prob.dtype)
-        pd = prob * keep
-        P1s.append(prob)
-        Pd1s.append(pd)
-        slf_parts.append(
-            dot32(pd, v1[:, h * hd:(h + 1) * hd]).astype(dt))
+        hsl = slice(h * hd, (h + 1) * hd)
+        ctx_chunks = []
+        for c, rs in enumerate(chunks):
+            s = dot_abT(q1[rs, hsl], k1[rs, hsl]) * scale
+            s = jnp.where(same1, s, -jnp.inf)
+            s = s - jax.lax.stop_gradient(
+                jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            prob = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            keep = _tile_keep(mslf[rs, h * p:(h + 1) * p],
+                              tile // nsp).astype(prob.dtype)
+            pd = prob * keep
+            P1s[h][c] = prob
+            Pd1s[h][c] = pd
+            ctx_chunks.append(dot32(pd, v1[rs, hsl]).astype(dt))
+        slf_parts.append(ctx_chunks[0] if nsp == 1
+                         else jnp.concatenate(ctx_chunks, axis=0))
     slf = jnp.concatenate(slf_parts, axis=-1)            # [R, D]
     x1 = x0 + (dot32(slf, slf_ow_ref[:]) + slf_ob_ref[0]).astype(dt)
 
@@ -470,17 +625,24 @@ def _kernel_bwd(patch_ref, video_ref, audio_ref,
     g_q_parts, g_k_parts, g_v_parts = [], [], []
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
-        keep = _tile_keep(mslf[:, h * p:(h + 1) * p], tile) \
-            .astype(jnp.float32)
-        gslf_h = g_slf[:, sl]
-        gPd = dot_abT(gslf_h, v1[:, sl])                 # [R, R]
-        g_v_parts.append(dotT_ab(Pd1s[h], gslf_h).astype(dt))
-        gP = gPd * keep
-        prob = P1s[h].astype(jnp.float32)
-        gS = prob * (gP - jnp.sum(gP * prob, axis=-1, keepdims=True))
-        gS = gS.astype(dt)
-        g_q_parts.append((dot32(gS, k1[:, sl]) * scale).astype(dt))
-        g_k_parts.append((dotT_ab(gS, q1[:, sl]) * scale).astype(dt))
+        gq_c, gk_c, gv_c = [], [], []
+        for c, rs in enumerate(chunks):
+            keep = _tile_keep(mslf[rs, h * p:(h + 1) * p],
+                              tile // nsp).astype(jnp.float32)
+            gslf_h = g_slf[rs, sl]
+            gPd = dot_abT(gslf_h, v1[rs, sl])            # [ch, ch]
+            gv_c.append(dotT_ab(Pd1s[h][c], gslf_h).astype(dt))
+            gP = gPd * keep
+            prob = P1s[h][c].astype(jnp.float32)
+            gS = prob * (gP - jnp.sum(gP * prob, axis=-1, keepdims=True))
+            gS = gS.astype(dt)
+            gq_c.append((dot32(gS, k1[rs, sl]) * scale).astype(dt))
+            gk_c.append((dotT_ab(gS, q1[rs, sl]) * scale).astype(dt))
+        cat = (lambda xs: xs[0] if nsp == 1
+               else jnp.concatenate(xs, axis=0))
+        g_q_parts.append(cat(gq_c))
+        g_k_parts.append(cat(gk_c))
+        g_v_parts.append(cat(gv_c))
     g_qkv = jnp.concatenate(
         [jnp.concatenate(g_q_parts, axis=-1),
          jnp.concatenate(g_k_parts, axis=-1),
