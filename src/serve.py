@@ -3,11 +3,13 @@ HTTP queue (a capability the reference lacks; its closest surface is the
 offline split scorer, reference src/trainutils.py:397-462).
 
 The jitted forward is compiled ONCE at startup for a fixed batch shape; a
-batcher thread drains the request queue, pads each flush to that shape, runs
-one step, and fans the answers back out. Fixed shapes are the TPU-native
-form of serving this model: every question is 77 tokens and every video is
-T=60 frames, so continuous batching buys nothing — a full B=256 step
-saturates the chip (see scripts/bench_serve.py for the measured rate).
+batcher thread drains the request queue, pads each flush to that shape, and
+DISPATCHES it without waiting (JAX async dispatch keeps up to 3 batches in
+flight on device); a completer thread materializes results in FIFO order
+and fans the answers back out. Fixed shapes are the TPU-native form of
+serving this model: every question is 77 tokens and every video is T=60
+frames, so continuous batching buys nothing — a full B=256 step saturates
+the chip (see scripts/bench_serve.py for the measured rate).
 
     python src/serve.py --config configs/qa-tiger/vitl14.py \
         --weight best.npz --port 8765 --batch-size 256 --max-wait-ms 10
@@ -157,9 +159,14 @@ class Service:
                 lambda a: a.astype(self.dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
         self._params = params
+        # softmax lives INSIDE the jit so a served batch is exactly ONE
+        # device dispatch; on this backend every eager op is a separate
+        # tunnel round-trip, and the old logits->astype->softmax->slice
+        # chain cost three extra ones per batch
         self._forward = jax.jit(
-            lambda p, b: forward_fn(p, b, self.runner.model_cfg,
-                                    train=False)["out"])
+            lambda p, b: jax.nn.softmax(
+                forward_fn(p, b, self.runner.model_cfg,
+                           train=False)["out"].astype(jnp.float32), axis=-1))
 
         # device-resident feature cache: features of the N hottest videos
         # stay in HBM as [N, ...] buffers; a cached request's batch is
@@ -174,8 +181,9 @@ class Service:
                 batch = {k: jnp.take(v, idx, axis=0)
                          for k, v in bufs.items()}
                 batch["quest"] = quest
-                return forward_fn(p, batch, self.runner.model_cfg,
-                                  train=False)["out"]
+                out = forward_fn(p, batch, self.runner.model_cfg,
+                                 train=False)["out"]
+                return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
             self._forward_cached = jax.jit(_fwd_cached)
 
@@ -193,8 +201,14 @@ class Service:
         self.stats = {"served": 0, "batches": 0, "rows": 0,
                       "cached_batches": 0}
         self._stop = threading.Event()
+        # batches in flight on device; maxsize bounds device-queue depth so
+        # the batcher stalls (backpressure) rather than piling work up
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=3)
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._completer = threading.Thread(target=self._complete,
+                                           daemon=True)
         self._thread.start()
+        self._completer.start()
 
     # ------------------------------------------------------------------
     def _example_rows(self):
@@ -225,11 +239,13 @@ class Service:
         tokens = self.tokenizer("warmup question", truncate=True)[0]
         return feats, tokens.astype(np.int64)
 
-    def _step(self, rows):
+    def _dispatch(self, rows):
         """rows: list of dicts {tokens, video, slot, feats}. Pads to the
-        compiled batch_size, returns per-row probability vectors."""
-        n = len(rows)
-        pad = self.batch_size - n
+        compiled batch_size and dispatches ONE jitted forward; returns the
+        still-on-device [B, num_labels] probability array WITHOUT blocking
+        on it, so the batcher can assemble the next batch while this one
+        runs (JAX async dispatch is the pipeline)."""
+        pad = self.batch_size - len(rows)
         quest = np.stack([r["tokens"] for r in rows]
                          + [rows[0]["tokens"]] * pad)
         if self.cache_cap and self._dev_slots \
@@ -241,12 +257,9 @@ class Service:
             with self._cache_lock:
                 bufs = self._dev_bufs  # snapshot; inserts swap in NEW
                 # buffers (non-donating .at[].set), old ones stay valid
-            logits = self._forward_cached(
-                self._params, bufs, jnp.asarray(idx), jnp.asarray(quest))
-            probs = np.asarray(jax.nn.softmax(
-                logits[:n].astype(jnp.float32), axis=-1))
             self.stats["cached_batches"] += 1
-            return probs
+            return self._forward_cached(
+                self._params, bufs, jnp.asarray(idx), jnp.asarray(quest))
         batch = {}
         feats0 = rows[0]["feats"] or self.store.get(rows[0]["video"])
         for key in feats0:
@@ -256,9 +269,11 @@ class Service:
             batch[key] = stack.astype(self.dtype)
         batch["quest"] = quest
         dev = self.runner._device_batch(batch)
-        logits = self._forward(self._params, dev)
-        probs = jax.nn.softmax(logits[:n].astype(jnp.float32), axis=-1)
-        return np.asarray(probs)
+        return self._forward(self._params, dev)
+
+    def _step(self, rows):
+        """Synchronous dispatch+materialize (warmup path)."""
+        return np.asarray(self._dispatch(rows))[:len(rows)]
 
     def _warm_cached_path(self, feats):
         """Compile the device-gather forward against full-size HBM buffers."""
@@ -311,17 +326,45 @@ class Service:
                 rows.append(row)
                 futures.append(fut)
             try:
-                probs = self._step(rows)
-                for i, fut in enumerate(futures):
-                    fut["probs"] = probs[i]
-                    fut["event"].set()
+                probs_dev = self._dispatch(rows)
             except Exception as exc:  # pragma: no cover
                 for fut in futures:
                     fut["error"] = str(exc)
                     fut["event"].set()
-            self.stats["served"] += len(rows)
+                continue
+            # hand the in-flight device array to the completer and go
+            # straight back to assembling the next batch — device compute
+            # and the result fetch overlap with host-side batch assembly
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((probs_dev, futures), timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def _complete(self):
+        """Materialize in-flight batches in FIFO order and fan answers out.
+        np.asarray here is where the wait-for-device happens; it runs OFF
+        the batcher thread so the chip never idles between batches."""
+        while not self._stop.is_set():
+            try:
+                probs_dev, futures = self._inflight.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            # stats BEFORE the events: a client that polls /stats right
+            # after its answer arrives must see its own batch counted
+            self.stats["served"] += len(futures)
             self.stats["batches"] += 1
             self.stats["rows"] += self.batch_size
+            try:
+                probs = np.asarray(probs_dev)
+                for i, fut in enumerate(futures):
+                    fut["probs"] = probs[i]
+                    fut["event"].set()
+            except Exception as exc:  # pragma: no cover — device-side
+                for fut in futures:  # error surfaces at materialization
+                    fut["error"] = str(exc)
+                    fut["event"].set()
 
     # ------------------------------------------------------------------
     def _tokens(self, question: str) -> np.ndarray:
