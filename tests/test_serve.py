@@ -261,3 +261,120 @@ config = dict(
     with pytest.raises(RuntimeError):
         svc._await(fut)
     svc.shutdown()
+
+
+def _tiny_service(tmp_path, batch_size=2):
+    """A ready Service over a 1-layer tower and a single vggish feature dir
+    (CPU platform) — cheap enough for unit tests of the batcher internals."""
+    import sys as _sys
+    from types import SimpleNamespace
+
+    _sys.path.insert(0, str(REPO / "src"))
+    from serve import Service
+
+    import qa_tiger_tpu.models.clip_text as ct
+
+    ct.CLIP_TEXT_CONFIGS.setdefault(
+        "tiny-serve-p", dict(width=32, heads=4, layers=1, embed_dim=32))
+    data = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for sub, shape in [("vggish", (T, 16)), ("clip", (T, 32)),
+                       ("tome", (T, P, 24))]:
+        (data / sub).mkdir(parents=True)
+        np.save(data / sub / "va.npy",
+                rng.standard_normal(shape).astype(np.float32))
+    (data / "answer2idx.json").write_text(json.dumps(
+        {"ans2ix": {"one": 0, "two": 1}, "max_que_len": 24}))
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(f"""
+config = dict(
+    type='qa-tiger', seed=3, num_labels=2, weight='',
+    data=dict(root='{data.as_posix()}', num_frames={T}, frame_sample_rate=1,
+              ans_quelen='answer2idx.json', audio_feat='vggish',
+              video_feat='clip', patch_feat='tome'),
+    hyper_params=dict(platform='cpu', model_type='QA-TIGER_tiny',
+        model=dict(d_model=32, video_dim=32, patch_dim=24, audio_dim=16,
+                   topK=2, num_experts=3, encoder_type='tiny-serve-p'),
+        optim=dict(lr=1e-3, betas=(0.95, 0.999), weight_decay=0),
+        sched=dict(name='StepLR', step_size=8, gamma=0.1)),
+)
+""")
+    svc = Service(SimpleNamespace(config=str(cfg), weight="",
+                                  batch_size=batch_size, max_wait_ms=5.0,
+                                  dtype="float32", device_cache=0))
+    assert svc.ready.wait(timeout=300)
+    assert svc.failed is None, svc.failed
+    return svc
+
+
+def test_pipelined_batcher_overlap_order_and_errors(tmp_path):
+    """The batcher must keep dispatching while earlier batches are still
+    being materialized (the pipeline that hides device latency), answers
+    must come back in FIFO row order, and an error that only surfaces at
+    materialization time must fan out to exactly that batch's futures."""
+    svc = _tiny_service(tmp_path, batch_size=2)
+    try:
+        # generous fill window: consecutive puts land µs apart, so every
+        # batch fills to exactly batch_size (deterministic boundaries)
+        svc.max_wait = 5.0
+        gate = threading.Event()
+        dispatched = []
+
+        class Deferred:
+            """np.asarray(...) blocks until the gate opens (batch `tag`),
+            or raises (tag == 'boom') — a stand-in for an in-flight device
+            array whose fetch waits on / fails inside the device."""
+
+            def __init__(self, tag, batch_size):
+                self.tag, self.n = tag, batch_size
+
+            def __array__(self, dtype=None, copy=None):
+                if not gate.wait(timeout=60):  # pragma: no cover
+                    raise TimeoutError("gate never opened")
+                if self.tag == "boom":
+                    raise RuntimeError("device exploded at fetch")
+                return np.full((self.n, 2), float(self.tag), np.float32)
+
+        def fake_dispatch(rows):
+            tag = "boom" if rows[0]["tokens"][0] == 99 else len(dispatched)
+            dispatched.append(len(rows))
+            return Deferred(tag, svc.batch_size)
+
+        svc._dispatch = fake_dispatch
+
+        def enqueue(first_token=0):
+            fut = {"event": threading.Event()}
+            svc.queue.put(({"tokens": np.full(20, first_token, np.int64),
+                            "video": "va", "slot": None, "feats": None},
+                           fut))
+            return fut
+
+        # 6 rows = 3 full batches; the completer blocks on batch 0's
+        # materialization, yet all 3 must be DISPATCHED (pipeline depth 3)
+        futs = [enqueue() for _ in range(6)]
+        deadline = time.monotonic() + 30
+        while len(dispatched) < 3 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert len(dispatched) == 3, \
+            f"batcher stalled behind the completer: {dispatched}"
+        assert not any(f["event"].is_set() for f in futs)
+
+        gate.set()
+        probs = [svc._await(f) for f in futs]
+        # FIFO: rows i=0,1 -> batch 0, i=2,3 -> batch 1, i=4,5 -> batch 2
+        for i, p in enumerate(probs):
+            assert p[0] == float(i // 2), (i, p)
+
+        # a batch whose fetch raises fails ONLY its own futures
+        bad = [enqueue(first_token=99) for _ in range(2)]
+        good = [enqueue() for _ in range(2)]
+        with pytest.raises(RuntimeError, match="device exploded"):
+            svc._await(bad[0])
+        with pytest.raises(RuntimeError):
+            svc._await(bad[1])
+        for f in good:
+            assert svc._await(f)[0] == 4.0  # batch index 4 (5 dispatches)
+        assert svc.stats["batches"] == 5
+        assert svc.stats["served"] == 10
+    finally:
+        svc.shutdown()
