@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -58,8 +59,17 @@ try:
 except ImportError:  # pragma: no cover
     _HAVE_PLTPU = False
 
-VMEM_TOTAL = 15 * 1024 * 1024  # weights + activations ceiling (16 MB scoped
-# vmem minus headroom; sizes at this budget compile, one step up OOMs)
+VMEM_TOTAL = 15 * 1024 * 1024  # weights + activations ceiling under the
+# DEFAULT 16 MB scoped-vmem limit (one step up OOMs there) — still used by
+# the MLP-half kernel, which keeps the default limit.
+
+# The attention-half kernels raise the scoped-vmem limit instead (v5e has
+# 128 MB): more rows per grid step = fewer grid steps amortizing the
+# weights/launch overhead. r is still capped at ATTN_R (env
+# QA_TIGER_ATTN_R for on-chip ablations).
+ATTN_VMEM = 60 * 1024 * 1024
+ATTN_VMEM_LIMIT = 64 * 1024 * 1024
+ATTN_R = int(os.environ.get("QA_TIGER_ATTN_R", "8"))
 
 
 def _ln(x32, w, b, eps=1e-5):
@@ -163,12 +173,22 @@ def _attn_sizes(B, S, W, itemsize, outs=1):
     weights = 4 * W * W * itemsize
     per_r = (g * S * W * itemsize * (2 + 2 * outs + 3 + 1 + 1)  # x/y dbuf,
              + g * g * S * S * 4 * 2)               # qkv, ctx, fp32 scores
+    # admission stays at the DEFAULT-limit budget so the set of shapes that
+    # fuse is unchanged (the wide image towers keep their measured-better
+    # attention_wide route); only r is sized against the raised limit
     if weights + per_r > VMEM_TOTAL:
         return None
-    r = max(1, min(B // g, 8, (VMEM_TOTAL - weights) // max(per_r, 1)))
+    r = max(1, min(B // g, ATTN_R, (ATTN_VMEM - weights) // max(per_r, 1)))
     while (B // g) % r:
         r -= 1
     return g, r
+
+
+def _attn_compiler_kwargs(interpret):
+    if _HAVE_PLTPU and not interpret:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=ATTN_VMEM_LIMIT)}
+    return {}
 
 
 def _attn_impl(x, params, mask, *, heads, interpret):
@@ -209,6 +229,7 @@ def _attn_impl(x, params, mask, *, heads, interpret):
                for w in w_args]
     out = pl.pallas_call(
         functools.partial(_attn_kernel, heads=heads),
+        **_attn_compiler_kwargs(interpret),
         out_shape=jax.ShapeDtypeStruct((B // g, g * S, W), dt),
         grid_spec=pl.GridSpec(
             grid=(n,),
@@ -270,6 +291,7 @@ def _attn_ln2_impl(x, params, mask, *, heads, interpret):
     io_spec = pl.BlockSpec((r, g * S, W), lambda i: (i, 0, 0))
     y, h2 = pl.pallas_call(
         functools.partial(_attn_ln2_kernel, heads=heads),
+        **_attn_compiler_kwargs(interpret),
         out_shape=(jax.ShapeDtypeStruct((B // g, g * S, W), dt),
                    jax.ShapeDtypeStruct((B // g, g * S, W), dt)),
         grid_spec=pl.GridSpec(
