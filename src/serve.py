@@ -246,8 +246,11 @@ class Service:
         on it, so the batcher can assemble the next batch while this one
         runs (JAX async dispatch is the pipeline)."""
         pad = self.batch_size - len(rows)
+        # int32 token ids: the BPE vocab is 49408 so int32 is lossless, and
+        # it halves the per-batch host->device quest transfer (the one
+        # serial host step left on the batcher thread)
         quest = np.stack([r["tokens"] for r in rows]
-                         + [rows[0]["tokens"]] * pad)
+                         + [rows[0]["tokens"]] * pad).astype(np.int32)
         if self.cache_cap and self._dev_slots \
                 and all(r["slot"] is not None for r in rows):
             # TPU-native fast path: gather the batch from HBM-resident
@@ -281,7 +284,7 @@ class Service:
                 for k, v in feats.items()}
         idx = jnp.zeros((self.batch_size,), jnp.int32)
         quest = jnp.zeros((self.batch_size,) + self.tokenizer(
-            "w", truncate=True)[0].shape, jnp.int64)
+            "w", truncate=True)[0].shape, jnp.int32)
         np.asarray(self._forward_cached(self._params, bufs, idx, quest))
         del bufs
 
@@ -301,30 +304,44 @@ class Service:
             self.ready.set()  # unblock health checks; they report failure
             while not self._stop.is_set():
                 try:
-                    _, fut = self.queue.get(timeout=0.25)
+                    _, futs = self._get_item(timeout=0.25)
                 except queue.Empty:
                     continue
-                fut["error"] = self.failed
-                fut["event"].set()
+                for fut in futs:
+                    fut["error"] = self.failed
+                    fut["event"].set()
             return
         self.ready.set()
+        # rows accepted but not yet dispatched. Bulk enqueues
+        # (predict_many) land as ONE queue item, so a client-side batch
+        # fills a device batch in a single get() instead of racing the
+        # fill window one row at a time on the shared core — the
+        # under-fill (avg_fill 0.77) that capped the measured serve rate.
+        pending_rows: list = []
+        pending_futs: list = []
         while not self._stop.is_set():
-            try:
-                first = self.queue.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            rows, futures = [first[0]], [first[1]]
+            if not pending_rows:
+                try:
+                    rows, futs = self._get_item(timeout=0.25)
+                except queue.Empty:
+                    continue
+                pending_rows.extend(rows)
+                pending_futs.extend(futs)
             deadline = time.monotonic() + self.max_wait
-            while len(rows) < self.batch_size:
+            while len(pending_rows) < self.batch_size:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    row, fut = self.queue.get(timeout=remaining)
+                    rows, futs = self._get_item(timeout=remaining)
                 except queue.Empty:
                     break
-                rows.append(row)
-                futures.append(fut)
+                pending_rows.extend(rows)
+                pending_futs.extend(futs)
+            rows = pending_rows[:self.batch_size]
+            futures = pending_futs[:self.batch_size]
+            del pending_rows[:self.batch_size]
+            del pending_futs[:self.batch_size]
             try:
                 probs_dev = self._dispatch(rows)
             except Exception as exc:  # pragma: no cover
@@ -341,6 +358,15 @@ class Service:
                     break
                 except queue.Full:
                     continue
+
+    def _get_item(self, timeout):
+        """Pop one queue item as (rows, futures) lists. Accepts both the
+        bulk form ([rows], [futs]) that predict/predict_many enqueue and a
+        bare (row_dict, fut) pair (unit tests drive the queue directly)."""
+        rows, futs = self.queue.get(timeout=timeout)
+        if isinstance(rows, dict):
+            return [rows], [futs]
+        return rows, futs
 
     def _complete(self):
         """Materialize in-flight batches in FIFO order and fan answers out.
@@ -435,17 +461,16 @@ class Service:
 
     def predict(self, question: str, video_id: str, topk: int):
         fut = {"event": threading.Event()}
-        self.queue.put((self._make_row(question, video_id), fut))
+        self.queue.put(([self._make_row(question, video_id)], [fut]))
         return self._topk_payload(question, video_id, self._await(fut), topk)
 
     def predict_many(self, items, topk: int):
-        """Enqueue a client-side batch in one call (amortizes transport)."""
-        futs = []
-        for it in items:
-            fut = {"event": threading.Event()}
-            self.queue.put(
-                (self._make_row(it["question"], it["video"]), fut))
-            futs.append(fut)
+        """Enqueue a client-side batch as ONE queue item: the batcher sees
+        the whole chunk at once instead of draining it row by row against
+        its fill window (amortizes transport AND keeps batches full)."""
+        rows = [self._make_row(it["question"], it["video"]) for it in items]
+        futs = [{"event": threading.Event()} for _ in items]
+        self.queue.put((rows, futs))
         return [self._topk_payload(it["question"], it["video"],
                                    self._await(fut), topk)
                 for it, fut in zip(items, futs)]

@@ -307,6 +307,39 @@ config = dict(
     return svc
 
 
+def test_bulk_enqueue_fills_batches(tmp_path):
+    """predict_many must land its whole chunk as ONE queue item, and the
+    batcher must carve full batches out of its pending buffer instead of
+    racing the fill window one row at a time (the avg_fill<1 cause under
+    a saturating client): 5 rows at batch_size=2 -> dispatches of 2/2/1
+    even with a ZERO fill window, and FIFO answers for every row."""
+    svc = _tiny_service(tmp_path, batch_size=2)
+    try:
+        svc.max_wait = 0.0  # bulk item arrives whole; no window needed
+        dispatched = []
+
+        def fake_dispatch(rows):
+            dispatched.append(len(rows))
+            # row i's prob vector encodes its global order via argmax
+            base = sum(dispatched[:-1])
+            out = np.zeros((svc.batch_size, 2), np.float32)
+            for i in range(len(rows)):
+                out[i, (base + i) % 2] = 1.0
+            return out
+
+        svc._dispatch = fake_dispatch
+        out = svc.predict_many(
+            [{"question": f"q{i}", "video": "va"} for i in range(5)],
+            topk=1)
+        assert [len(r["topk"]) for r in out] == [1] * 5
+        assert dispatched == [2, 2, 1], dispatched
+        # FIFO: global row i -> argmax i % 2
+        assert [r["answer"] for r in out] == \
+            ["one", "two", "one", "two", "one"]
+    finally:
+        svc.shutdown()
+
+
 def test_pipelined_batcher_overlap_order_and_errors(tmp_path):
     """The batcher must keep dispatching while earlier batches are still
     being materialized (the pipeline that hides device latency), answers
