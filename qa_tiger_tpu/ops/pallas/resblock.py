@@ -71,6 +71,16 @@ ATTN_VMEM = 60 * 1024 * 1024
 ATTN_VMEM_LIMIT = 64 * 1024 * 1024
 ATTN_R = int(os.environ.get("QA_TIGER_ATTN_R", "8"))
 
+# Two-heads-per-dot K-packing for the per-head attention loop (on-chip
+# ablation flag). Head pairs are ADJACENT 128-lane slices of the packed qkv
+# buffer, so with Q stacked block-diagonally along rows
+# ([q_h0 | 0; 0 | q_h1], rows zero-padded to the 8-sublane boundary) one
+# [2*gSp, 2*hd] x [2*hd, gS] dot yields BOTH heads' exact scores: full MXU
+# K-dim (128 vs 64) and half the dot issues, with NO score-area inflation
+# (the block-diagonal QUERY packings that inflate area hg^2-fold are the
+# measured losses in docs/PROFILE.md; this packs the CONTRACTION dim).
+ATTN_PAIR = os.environ.get("QA_TIGER_ATTN_PAIR", "0") == "1"
+
 
 def _ln(x32, w, b, eps=1e-5):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -115,6 +125,41 @@ def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
            + bqkv_ref[0]).astype(dt).reshape(r, gs, 3 * W)
     mask = mask_ref[0]                                    # [gS, gS] fp32
     ctxs = []
+    if ATTN_PAIR and heads % 2 == 0:
+        gsp = -(-gs // 8) * 8  # pad the stacked blocks to sublane tiles so
+        # the row concat lands on an 8-aligned offset (Mosaic legality)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * hd), 2)
+        if gsp > gs:
+            zrow = [jnp.zeros((r, gsp - gs, 2 * hd), dt)]
+            mrow = [jnp.zeros((gsp - gs, gs), mask.dtype)]
+        else:
+            zrow, mrow = [], []
+        mask2 = jnp.concatenate([mask] + mrow + [mask] + mrow, axis=0)
+        for hp in range(heads // 2):
+            qp = qkv[:, :, 2 * hp * hd:(2 * hp + 2) * hd]  # [r, gs, 2hd]
+            kp = qkv[:, :, W + 2 * hp * hd:W + (2 * hp + 2) * hd]
+            vp = qkv[:, :, 2 * W + 2 * hp * hd:2 * W + (2 * hp + 2) * hd]
+            top = jnp.where(lane < hd, qp, jnp.zeros_like(qp))
+            bot = jnp.where(lane >= hd, qp, jnp.zeros_like(qp))
+            q2 = jnp.concatenate([top] + zrow + [bot] + zrow, axis=1)
+            s = jax.lax.dot_general(
+                q2, kp, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [r, 2gsp, gs]
+            s = s + mask2
+            s = s - jax.lax.stop_gradient(
+                jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            c2 = jax.lax.dot_general(
+                p, vp, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dt)
+            ctxs.append(c2[:, :gs, :hd])                   # head 2hp
+            ctxs.append(c2[:, gsp:gsp + gs, hd:])          # head 2hp+1
+        ctx = jnp.concatenate(ctxs, axis=-1).reshape(r * gs, W)
+        out = (jnp.dot(ctx, wout_ref[:],
+                       preferred_element_type=jnp.float32)
+               + bout_ref[0]).astype(dt).reshape(r, gs, W)
+        return x + out
     for head in range(heads):
         q = qkv[:, :, head * hd:(head + 1) * hd]
         k = qkv[:, :, W + head * hd:W + (head + 1) * hd]

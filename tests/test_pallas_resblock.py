@@ -93,6 +93,42 @@ def test_grad_matches_jnp():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("B,S,W,heads,causal", [
+    (8, 13, 128, 4, True),    # odd S: exercises the sublane zero-pad rows
+    (2, 77, 128, 2, True),    # shipped seq length, packed regime
+    (4, 16, 128, 4, False),   # 8-aligned S: no pad operands in the concat
+])
+def test_attn_pair_packing_matches_per_head(B, S, W, heads, causal,
+                                            monkeypatch):
+    """QA_TIGER_ATTN_PAIR=1 (two heads per score/context dot via K-dim
+    packing of adjacent head lanes) must reproduce the per-head loop: the
+    zero-padded Q blocks contribute exact zeros to the contraction, so the
+    math is identical up to fp32 summation order."""
+    import qa_tiger_tpu.ops.pallas.resblock as R
+
+    params = _params(W)
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, S, W))
+    mask = causal_mask(S) if causal else None
+    monkeypatch.setattr(R, "ATTN_PAIR", False)
+    want = R.fused_attn_ln2(x, params, mask, heads, True)
+    monkeypatch.setattr(R, "ATTN_PAIR", True)
+    got = R.fused_attn_ln2(x, params, mask, heads, True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)
+    # odd head counts must fall back to the per-head loop, not crash
+    monkeypatch.setattr(R, "ATTN_PAIR", True)
+    p3 = _params(192)
+    x3 = jax.random.normal(jax.random.PRNGKey(12), (B, S, 192))
+    m3 = causal_mask(S) if causal else None
+    y3 = R.fused_attn_ln2(x3, p3, m3, 3, True)
+    monkeypatch.setattr(R, "ATTN_PAIR", False)
+    w3 = R.fused_attn_ln2(x3, p3, m3, 3, True)
+    for g, w in zip(y3, w3):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_cpu_fallback_is_jnp_path():
     # interpret=None off-TPU must not touch Pallas (exact equality)
     B, S, W, heads = 2, 9, 128, 4
