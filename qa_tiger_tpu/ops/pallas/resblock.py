@@ -81,6 +81,17 @@ ATTN_R = int(os.environ.get("QA_TIGER_ATTN_R", "8"))
 # measured losses in docs/PROFILE.md; this packs the CONTRACTION dim).
 ATTN_PAIR = os.environ.get("QA_TIGER_ATTN_PAIR", "0") == "1"
 
+# Round-5 probes for the remaining 0.27 ms/layer slack (docs/PROFILE.md
+# "Remaining headroom" #1). Probe-only, parity-pinned in tests:
+# - QA_TIGER_ATTN_V=stack: per-head scores row-stacked into ONE
+#   [r, heads*ceil8(gS), gS] block so the fp32 softmax runs as a single
+#   VPU chain instead of 12 serialized per-head chains (tests whether the
+#   slack is VPU-issue/pipelining between the 24 dots).
+# - QA_TIGER_ATTN_ABLATE=nosoftmax: softmax replaced by a scale (NOT
+#   numerically valid — ablation only) to price the whole softmax chain.
+ATTN_V = os.environ.get("QA_TIGER_ATTN_V", "")
+ATTN_ABLATE = os.environ.get("QA_TIGER_ATTN_ABLATE", "")
+
 
 def _ln(x32, w, b, eps=1e-5):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -160,6 +171,47 @@ def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                        preferred_element_type=jnp.float32)
                + bout_ref[0]).astype(dt).reshape(r, gs, W)
         return x + out
+    if ATTN_V == "stack":
+        # all heads' scores row-stacked (each padded to the 8-sublane
+        # boundary so slices back out stay aligned); the mask add and the
+        # softmax then run as ONE VPU chain over the stacked block instead
+        # of 12 serialized per-head chains (measured: 1.918 -> 1.84
+        # ms/layer AND Mosaic compile 594 -> 58 s — the per-head softmax
+        # chains were what blew up both)
+        gsp = -(-gs // 8) * 8
+        blocks = []
+        for head in range(heads):
+            q = qkv[:, :, head * hd:(head + 1) * hd]
+            k = qkv[:, :, W + head * hd:W + (head + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if gsp > gs:
+                s = jnp.concatenate(
+                    [s, jnp.zeros((r, gsp - gs, gs), s.dtype)], axis=1)
+            blocks.append(s)
+        sall = jnp.concatenate(blocks, axis=1)        # [r, heads*gsp, gS]
+        if gsp > gs:
+            mrow = jnp.zeros((gsp - gs, gs), mask.dtype)
+            mask_t = jnp.concatenate([mask, mrow] * heads, axis=0)
+        else:
+            mask_t = jnp.concatenate([mask] * heads, axis=0)
+        sall = sall * scale + mask_t[None]
+        sall = sall - jax.lax.stop_gradient(
+            jnp.max(sall, axis=-1, keepdims=True))
+        e = jnp.exp(sall)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        for head in range(heads):
+            v = qkv[:, :, 2 * W + head * hd:2 * W + (head + 1) * hd]
+            ph = p[:, head * gsp:head * gsp + gs, :]
+            ctxs.append(jax.lax.dot_general(
+                ph, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dt))
+        ctx = jnp.concatenate(ctxs, axis=-1).reshape(r * gs, W)
+        out = (jnp.dot(ctx, wout_ref[:],
+                       preferred_element_type=jnp.float32)
+               + bout_ref[0]).astype(dt).reshape(r, gs, W)
+        return x + out
     for head in range(heads):
         q = qkv[:, :, head * hd:(head + 1) * hd]
         k = qkv[:, :, W + head * hd:W + (head + 1) * hd]
@@ -168,9 +220,13 @@ def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [r, gS, gS]
         s = s + mask
-        s = s - jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+        if ATTN_ABLATE == "nosoftmax":  # ablation: price the softmax chain
+            p = (s * (1.0 / gs)).astype(dt)
+        else:
+            s = s - jax.lax.stop_gradient(
+                jnp.max(s, axis=-1, keepdims=True))
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
         ctxs.append(jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))

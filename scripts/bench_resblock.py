@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--fn", default="attn_ln2",
+                    choices=["attn_ln2", "attn_half"],
+                    help="attn_half skips the fused ln_2 output (60 vs "
+                         "90 MB HBM per layer at B=256) — the A/B that "
+                         "prices the kernel's HBM share")
     args = ap.parse_args()
 
     from qa_tiger_tpu.models.clip_text import resblock_init
@@ -53,6 +58,9 @@ def main():
     @jax.jit
     def run(x0):
         def body(carry, _):
+            if args.fn == "attn_half":
+                return R.fused_attn_half(
+                    carry, params, mask, args.heads, False), ()
             y, h2 = R.fused_attn_ln2(carry, params, mask, args.heads, False)
             # fold h2 in so neither output is dead code
             return (y + 0.0 * h2).astype(carry.dtype), ()
@@ -72,11 +80,12 @@ def main():
         best = min(best, time.perf_counter() - t0)
     per_iter_ms = best / args.iters * 1e3
     print(json.dumps({
-        "metric": "fused_attn_ln2_ms_per_layer",
+        "metric": f"fused_{args.fn}_ms_per_layer",
         "value": round(per_iter_ms, 3),
         "unit": "ms",
         "B": args.batch, "S": args.seq, "W": args.width,
         "attn_r": R.ATTN_R,
+        "attn_v": R.ATTN_V, "attn_ablate": R.ATTN_ABLATE,
         "compile_s": round(compile_s, 1),
     }))
 

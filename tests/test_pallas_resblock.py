@@ -94,9 +94,36 @@ def test_grad_matches_jnp():
 
 
 @pytest.mark.parametrize("B,S,W,heads,causal", [
-    (8, 13, 128, 4, True),    # odd S: exercises the sublane zero-pad rows
-    (2, 77, 128, 2, True),    # shipped seq length, packed regime
+    (8, 13, 128, 4, True),    # short-S packed regime (g=8, gS=104 is
+    #                           8-aligned so the pad operands stay empty)
+    (2, 77, 128, 2, True),    # shipped seq length; g=1 and gS=77 pads to
+    #                           80, exercising the sublane zero-pad rows
     (4, 16, 128, 4, False),   # 8-aligned S: no pad operands in the concat
+])
+def test_attn_stack_softmax_matches_per_head(B, S, W, heads, causal,
+                                             monkeypatch):
+    """QA_TIGER_ATTN_V=stack (all heads' scores row-stacked through ONE
+    softmax chain) must reproduce the per-head loop exactly: the stacked
+    softmax normalizes each row independently, so padding rows and row
+    order cannot change any head's probabilities."""
+    import qa_tiger_tpu.ops.pallas.resblock as R
+
+    params = _params(W)
+    x = jax.random.normal(jax.random.PRNGKey(13), (B, S, W))
+    mask = causal_mask(S) if causal else None
+    monkeypatch.setattr(R, "ATTN_V", "")
+    want = R.fused_attn_ln2(x, params, mask, heads, True)
+    monkeypatch.setattr(R, "ATTN_V", "stack")
+    got = R.fused_attn_ln2(x, params, mask, heads, True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,S,W,heads,causal", [
+    (8, 13, 128, 4, True),
+    (2, 77, 128, 2, True),
+    (4, 16, 128, 4, False),
 ])
 def test_attn_pair_packing_matches_per_head(B, S, W, heads, causal,
                                             monkeypatch):
