@@ -16,6 +16,7 @@ Blocks:
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple, Union
 
 import jax
@@ -156,17 +157,35 @@ def _avq_sub_forward(params: Params, src_q: jax.Array, src_v: jax.Array,
 def avq_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
                    query: jax.Array, *, nhead: int = 8, dropout_p: float = 0.1,
                    train: bool = False, rng: Optional[jax.Array] = None,
-                   visualize: bool = False):
+                   visualize: bool = False, use_fused: bool = True):
     """Bidirectional question-guided cross attention (ref 239-265).
 
     Both directions share the same parameter set (the reference calls
     self.sub_forward twice), so we run them as ONE batched pass over a
     2B-sized batch — identical math, twice the MXU tile occupancy.
+
+    Train mode on TPU routes through the fused AVQ forward+backward
+    kernel pair (ops/pallas/avq.py) with the dropout realization sampled
+    once here as explicit masks — the PatchSelecter train-kernel pattern;
+    under AD the XLA path materializes every [2B, H, T, T] probability
+    tensor and its gradient in HBM.
     """
     B = src_q.shape[0]
     q_cat = jnp.concatenate([src_q, src_v], axis=0)
     v_cat = jnp.concatenate([src_v, src_q], axis=0)
     query_cat = jnp.concatenate([query, query], axis=0)
+    if (use_fused and not visualize and train and dropout_p > 0.0
+            and rng is not None
+            and os.environ.get("QA_TIGER_AVQ_FUSED", "1") != "0"):
+        from qa_tiger_tpu.ops.pallas import avq as AVQ
+
+        N, T = q_cat.shape[0], q_cat.shape[1]
+        masks = make_avq_dropout_masks(
+            next_rng(rng, 12), N, T, query_cat.shape[1], q_cat.shape[2],
+            nhead=nhead, dropout_p=dropout_p, dtype=q_cat.dtype)
+        out = AVQ.fused_avq_train(q_cat, v_cat, query_cat, params, masks,
+                                  nhead, AVQ.AVQ_TILE)
+        return out[:B], out[B:]
     out, w = _avq_sub_forward(params, q_cat, v_cat, query_cat, nhead=nhead,
                               dropout_p=dropout_p, train=train,
                               rng=next_rng(rng, 10), need_weights=visualize)
@@ -174,6 +193,78 @@ def avq_cross_attn(params: Params, src_q: jax.Array, src_v: jax.Array,
     if visualize:
         return src1, src2, [w[:B], w[B:]]
     return src1, src2
+
+
+def make_avq_dropout_masks(rng: jax.Array, N: int, T: int, S: int, D: int,
+                           *, nhead: int, dropout_p: float,
+                           dtype=jnp.float32) -> dict:
+    """Sample the AVQ sub-forward's eight dropout realizations ONCE per
+    step, in the fused kernel's 2D geometry, pre-scaled by 1/(1-p).
+
+    - ``qst``/``slf``/``crs`` [N*T, pad128(H*Sk)]: attention-probability
+      masks (row n*T+t, lane h*Sk+key; Sk is S for qst, T for slf/crs),
+    - ``d_slf``/``d_crs``/``d_qst`` [N*T, D]: the three residual-stream
+      dropouts (ref src/models/modules.py:215-228),
+    - ``ffn1`` [N*T, D]: post-ReLU dropout inside the FFN,
+    - ``ffn2`` [N*T, D]: the FFN-output residual dropout.
+
+    Shared by the fused forward, the hand-written backward, AND the jnp
+    oracle (avq_sub_forward_masked) so all three see identical randomness.
+    """
+    keys = jax.random.split(rng, 8)
+    keep = 1.0 - dropout_p
+    scale = 1.0 / keep
+
+    def bern(k, shape, pad_to=None):
+        m = jax.random.bernoulli(k, keep, shape).astype(dtype) * scale
+        if pad_to and pad_to != shape[1]:
+            m = jnp.pad(m, ((0, 0), (0, pad_to - shape[1])))
+        return m
+
+    pad128 = lambda n: -(-n // 128) * 128  # noqa: E731
+    return {
+        "qst": bern(keys[0], (N * T, nhead * S), pad128(nhead * S)),
+        "slf": bern(keys[1], (N * T, nhead * T), pad128(nhead * T)),
+        "crs": bern(keys[2], (N * T, nhead * T), pad128(nhead * T)),
+        "d_slf": bern(keys[3], (N * T, D)),
+        "d_crs": bern(keys[4], (N * T, D)),
+        "d_qst": bern(keys[5], (N * T, D)),
+        "ffn1": bern(keys[6], (N * T, D)),
+        "ffn2": bern(keys[7], (N * T, D)),
+    }
+
+
+def avq_sub_forward_masked(params: Params, src_q: jax.Array,
+                           src_v: jax.Array, query: jax.Array, masks: dict,
+                           *, nhead: int = 8) -> jax.Array:
+    """The XLA-composed AVQ sub-forward with explicit multiplicative
+    dropout masks (make_avq_dropout_masks) — the oracle the fused train
+    kernels are tested against (same contract as patch_selecter_jnp's
+    ``masks`` path)."""
+    N, T, D = src_q.shape
+    S = query.shape[1]
+
+    def pm(m, Sk):
+        return m[:, :nhead * Sk].reshape(N, T, nhead, Sk) \
+            .transpose(0, 2, 1, 3)                     # [N, H, T, Sk]
+
+    def rd(m):
+        return m.reshape(N, T, D).astype(src_q.dtype)
+
+    qst_out, _ = mha(params["qst_attn"], src_q, query, query,
+                     num_heads=nhead, need_weights=False,
+                     prob_mask=pm(masks["qst"], S))
+    slf, _ = mha(params["slf_attn"], src_q, src_q, src_q, num_heads=nhead,
+                 need_weights=False, prob_mask=pm(masks["slf"], T))
+    crs, _ = mha(params["crs_attn"], src_q, src_v, src_v, num_heads=nhead,
+                 need_weights=False, prob_mask=pm(masks["crs"], T))
+    x = src_q + rd(masks["d_slf"]) * slf + rd(masks["d_crs"]) * crs \
+        + rd(masks["d_qst"]) * qst_out
+    x = layer_norm(params["norm1"], x)
+    h = jax.nn.relu(linear(params["linear1"], x)) * rd(masks["ffn1"])
+    ffn = linear(params["linear2"], h)
+    x = x + rd(masks["ffn2"]) * ffn
+    return layer_norm(params["norm2"], x)
 
 
 # ---------------------------------------------------------------------------

@@ -164,10 +164,10 @@ def qa_tiger_forward(params: Params, batch: Dict[str, jax.Array], cfg: dict,
     words = M.projection(params["words_proj"], words)
     quest = M.projection(params["quest_proj"], quest)
 
+    use_fused = cfg.get("use_fused", True)
     audio, video = M.avq_cross_attn(
         params["crs_attn"], audio, video, words, nhead=nhead, dropout_p=dp,
-        train=train, rng=next_rng(rng, 1))
-    use_fused = cfg.get("use_fused", True)
+        train=train, rng=next_rng(rng, 1), use_fused=use_fused)
     patch_pair = M.patch_selecter(
         params["patch_selecter"], patch, audio, video, nhead=nhead,
         dropout_p=dp, train=train, rng=next_rng(rng, 2),

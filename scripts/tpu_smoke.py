@@ -171,6 +171,38 @@ def main(argv=None):
     _report("fused_patch_select_train[fwd]", [a_t, v_t], [a_m, v_m],
             t0, failures, atol=1e-2)
 
+    # ---- fused_avq_train (fwd, then fwd+bwd) --------------------------------
+    from qa_tiger_tpu.ops.pallas import avq as AVQ
+
+    Na, Ta, Sa, Da, ha = 4, 8, 16, 128, 4
+    avq_p = jax.device_put(
+        M.avq_cross_attn_init(jax.random.PRNGKey(3), Da), dev)
+    a_src, a_val, a_wrd = arr(Na, Ta, Da), arr(Na, Ta, Da), arr(Na, Sa, Da)
+    avq_m = jax.device_put(M.make_avq_dropout_masks(
+        jax.random.PRNGKey(4), Na, Ta, Sa, Da, nhead=ha, dropout_p=0.1), dev)
+    t0 = time.perf_counter()
+    got = AVQ.fused_avq_train(a_src, a_val, a_wrd, avq_p, avq_m, ha, 2,
+                              False)
+    want = AVQ._jnp_masked(a_src, a_val, a_wrd, avq_p, avq_m, nhead=ha)
+    _report("fused_avq_train[fwd]", [got], [want], t0, failures, atol=1e-2)
+
+    if not args.skip_train_bwd:
+        def loss_ak(s, pr):
+            out = AVQ.fused_avq_train(s, a_val, a_wrd, pr, avq_m, ha, 2,
+                                      False)
+            return jnp.sum(out ** 2)
+
+        def loss_ar(s, pr):
+            out = AVQ._jnp_masked(s, a_val, a_wrd, pr, avq_m, nhead=ha)
+            return jnp.sum(out ** 2)
+
+        t0 = time.perf_counter()
+        gk = jax.grad(loss_ak, argnums=(0, 1))(a_src, avq_p)
+        gr = jax.grad(loss_ar, argnums=(0, 1))(a_src, avq_p)
+        _report("fused_avq_train[bwd]",
+                jax.tree_util.tree_leaves(gk),
+                jax.tree_util.tree_leaves(gr), t0, failures, atol=1e-2)
+
     if not args.skip_train_bwd:
         def loss_k(pt, pr):
             a, v = PS.fused_patch_select_train(pt, audio, video, pr, masks,
