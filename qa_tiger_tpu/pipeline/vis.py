@@ -16,6 +16,22 @@ def generate_colormap(n: int, seed: int = 0) -> np.ndarray:
     return rng.uniform(0.25, 1.0, size=(n, 3)).astype(np.float32)
 
 
+def group_assignment(source: np.ndarray,
+                     class_token: bool = True) -> np.ndarray:
+    """[grid, grid] patch->group map from a [groups, tokens] provenance
+    matrix — the deterministic core shared with the reference's
+    ``source.argmax(dim=1)`` (src/tome/vis.py:55-58); everything downstream
+    of it is rendering style."""
+    src = np.asarray(source)
+    if class_token:
+        src = src[:, 1:]  # drop provenance of the class token column
+    num_patches = src.shape[1]
+    grid = int(round(np.sqrt(num_patches)))
+    assert grid * grid == num_patches, "non-square patch grid"
+    # each source patch belongs to the group with max provenance weight
+    return np.argmax(src, axis=0).reshape(grid, grid)
+
+
 def make_visualization(image: np.ndarray, source: np.ndarray,
                        patch_size: int = 16, class_token: bool = True,
                        alpha: float = 0.5, seed: int = 0) -> np.ndarray:
@@ -25,15 +41,8 @@ def make_visualization(image: np.ndarray, source: np.ndarray,
     matrix from ``vit_forward(..., trace_source=True)``. Returns [H, W, 3].
     """
     img = np.asarray(image, np.float32)
-    src = np.asarray(source)
-    if class_token:
-        src = src[:, 1:]  # drop provenance of the class token column
-    num_groups, num_patches = src.shape
-    grid = int(round(np.sqrt(num_patches)))
-    assert grid * grid == num_patches, "non-square patch grid"
-
-    # each source patch belongs to the group with max provenance weight
-    assignment = np.argmax(src, axis=0).reshape(grid, grid)
+    num_groups = np.asarray(source).shape[0]
+    assignment = group_assignment(source, class_token)
     cmap = generate_colormap(num_groups, seed)
 
     h, w = img.shape[:2]
