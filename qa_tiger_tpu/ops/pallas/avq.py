@@ -164,6 +164,16 @@ def _pack_params(params):
     )
 
 
+def _load_w(refs):
+    """Load the 20 weight refs: 2D weights whole, [1, X] biases/norm params
+    as their 1D row via ``ref[0]`` — the patch_select idiom. Slicing a 1D
+    bias row ([D:]) then broadcasting it lowers cleanly in Mosaic, whereas
+    the combined ``ref[:][0, D:]`` index produced a value whose layout kept
+    lane offset 128 and failed ``vector.broadcast`` ("Invalid input
+    layout", on-chip smoke 2026-08-19)."""
+    return tuple(r[0] if r.shape[0] == 1 else r[:] for r in refs)
+
+
 def _fwd_body(src_ref, val_ref, wrd_ref,
               mqst_ref, mslf_ref, mcrs_ref,
               mdslf_ref, mdcrs_ref, mdqst_ref, mffn1_ref, mffn2_ref,
@@ -182,50 +192,50 @@ def _fwd_body(src_ref, val_ref, wrd_ref,
     val2 = val_ref[:].reshape(R, D)
 
     # ---- question-guided attention (kv from the words stream)
-    qq = (_dot32(x0_2, w[0][:, :D]) + w[1][0, :D]).astype(dt)
-    kvq = (_dot32(wrd2, w[0][:, D:]) + w[1][0, D:]).astype(dt)
+    qq = (_dot32(x0_2, w[0][:, :D]) + w[1][:D]).astype(dt)
+    kvq = (_dot32(wrd2, w[0][:, D:]) + w[1][D:]).astype(dt)
     q3 = qq.reshape(nb, T, D)
     kq3 = kvq[:, :D].reshape(nb, S, D)
     vq3 = kvq[:, D:].reshape(nb, S, D)
     qst_ctx, Pq, Pdq = _attn_fwd(q3, kq3, vq3, mqst_ref[:], heads=heads,
                                  scale=scale, dt=dt, want_probs=True)
     qst_ctx2 = qst_ctx.reshape(R, D)
-    qst_out = (_dot32(qst_ctx2, w[2]) + w[3][0]).astype(dt)
+    qst_out = (_dot32(qst_ctx2, w[2]) + w[3]).astype(dt)
 
     # ---- self attention
-    qkv = (_dot32(x0_2, w[4]) + w[5][0]).astype(dt)
+    qkv = (_dot32(x0_2, w[4]) + w[5]).astype(dt)
     s_q3 = qkv[:, :D].reshape(nb, T, D)
     s_k3 = qkv[:, D:2 * D].reshape(nb, T, D)
     s_v3 = qkv[:, 2 * D:].reshape(nb, T, D)
     slf_ctx, Ps, Pds = _attn_fwd(s_q3, s_k3, s_v3, mslf_ref[:], heads=heads,
                                  scale=scale, dt=dt, want_probs=True)
     slf_ctx2 = slf_ctx.reshape(R, D)
-    slf_out = (_dot32(slf_ctx2, w[6]) + w[7][0]).astype(dt)
+    slf_out = (_dot32(slf_ctx2, w[6]) + w[7]).astype(dt)
 
     # ---- cross attention (kv from the other a/v stream)
-    qc = (_dot32(x0_2, w[8][:, :D]) + w[9][0, :D]).astype(dt)
-    kvc = (_dot32(val2, w[8][:, D:]) + w[9][0, D:]).astype(dt)
+    qc = (_dot32(x0_2, w[8][:, :D]) + w[9][:D]).astype(dt)
+    kvc = (_dot32(val2, w[8][:, D:]) + w[9][D:]).astype(dt)
     c_q3 = qc.reshape(nb, T, D)
     c_k3 = kvc[:, :D].reshape(nb, T, D)
     c_v3 = kvc[:, D:].reshape(nb, T, D)
     crs_ctx, Pc, Pdc = _attn_fwd(c_q3, c_k3, c_v3, mcrs_ref[:], heads=heads,
                                  scale=scale, dt=dt, want_probs=True)
     crs_ctx2 = crs_ctx.reshape(R, D)
-    crs_out = (_dot32(crs_ctx2, w[10]) + w[11][0]).astype(dt)
+    crs_out = (_dot32(crs_ctx2, w[10]) + w[11]).astype(dt)
 
     # ---- residual + LN1 + FFN + LN2 (ref modules.py:215-238)
     x1 = (x0_2 + mdslf_ref[:].astype(dt) * slf_out
           + mdcrs_ref[:].astype(dt) * crs_out
           + mdqst_ref[:].astype(dt) * qst_out)
     x1_32 = x1.astype(jnp.float32)
-    h1 = _ln(x1_32, w[16][0], w[17][0]).astype(dt)
-    pre = _dot32(h1, w[12]) + w[13][0]
+    h1 = _ln(x1_32, w[16], w[17]).astype(dt)
+    pre = _dot32(h1, w[12]) + w[13]
     hr = jax.nn.relu(pre).astype(dt)
     hdp = hr * mffn1_ref[:].astype(dt)
-    ffn = (_dot32(hdp, w[14]) + w[15][0]).astype(dt)
+    ffn = (_dot32(hdp, w[14]) + w[15]).astype(dt)
     x2 = h1 + mffn2_ref[:].astype(dt) * ffn
     x2_32 = x2.astype(jnp.float32)
-    out = _ln(x2_32, w[18][0], w[19][0]).astype(dt)
+    out = _ln(x2_32, w[18], w[19]).astype(dt)
     if not want_inter:
         return out.reshape(nb, T, D)
     inter = dict(
@@ -242,7 +252,7 @@ def _kernel_fwd(src_ref, val_ref, wrd_ref,
                 mqst_ref, mslf_ref, mcrs_ref,
                 mdslf_ref, mdcrs_ref, mdqst_ref, mffn1_ref, mffn2_ref,
                 *refs, heads):
-    w = tuple(r[:] for r in refs[:20])  # weights: load refs once
+    w = _load_w(refs[:20])
     (out_ref,) = refs[20:]
     out_ref[:] = _fwd_body(src_ref, val_ref, wrd_ref,
                            mqst_ref, mslf_ref, mcrs_ref,
@@ -256,7 +266,7 @@ def _kernel_bwd(src_ref, val_ref, wrd_ref,
                 g_ref, *refs, heads):
     """Hand-derived backward: recompute the forward in VMEM, then reverse.
     Parameter gradients accumulate in fp32 into constant-index blocks."""
-    w = tuple(r[:] for r in refs[:20])  # weights: load refs once
+    w = _load_w(refs[:20])
     (gsrc_ref, gval_ref, gwrd_ref) = refs[20:23]
     gw = refs[23:]  # 20 param-grad refs, same packed layout as w
 
@@ -280,7 +290,7 @@ def _kernel_bwd(src_ref, val_ref, wrd_ref,
     g = g_ref[:].reshape(R, D).astype(jnp.float32)
 
     # ---- LN2 / FFN / LN1
-    g_x2, gn2w, gn2b = _ln_bwd(it["x2_32"], w[18][0], g)
+    g_x2, gn2w, gn2b = _ln_bwd(it["x2_32"], w[18], g)
     gw[18][:] += gn2w
     gw[19][:] += gn2b
     g_ffn = (g_x2 * mffn2_ref[:]).astype(dt)
@@ -293,7 +303,7 @@ def _kernel_bwd(src_ref, val_ref, wrd_ref,
     g_h1 = g_x2 + _dot_abT(g_pre_dt, w[12])
     gw[12][:] += _dotT_ab(it["h1"], g_pre_dt)
     gw[13][:] += jnp.sum(g_pre, axis=0, keepdims=True)
-    g_x1, gn1w, gn1b = _ln_bwd(it["x1_32"], w[16][0], g_h1)
+    g_x1, gn1w, gn1b = _ln_bwd(it["x1_32"], w[16], g_h1)
     gw[16][:] += gn1w
     gw[17][:] += gn1b
 
