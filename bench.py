@@ -133,7 +133,47 @@ def bench_jax() -> float:
             out = fwd(params, batch)
         np.asarray(out)
         rates.append(BATCH * BENCH_ITERS / (time.perf_counter() - start))
-    return float(np.median(rates))
+    return float(np.median(rates)), flops_per_batch(fwd, params, batch)
+
+
+def flops_per_batch(fwd, params, batch) -> float | None:
+    """Compiled-graph FLOPs for one forward batch, from XLA's own cost
+    analysis (Pallas custom calls contribute the flops declared in their
+    pl.CostEstimate). Falls back to the analytic text-tower count — the
+    derivation and a cross-check against this number live in
+    docs/PROFILE.md ("Roofline") — when the backend has no cost model."""
+    try:
+        flops = fwd.lower(params, batch).compile().cost_analysis()
+        if isinstance(flops, list):  # older jax returns [dict]
+            flops = flops[0]
+        flops = float(flops["flops"])
+        if flops > 0:
+            return flops
+    except Exception:
+        pass
+    # analytic floor: CLIP-L text tower (W=768, S=77, 12 layers) per sample
+    # = 12 * (24*S*W^2 + 4*S^2*W) ~= 1.33e10/sample (3.4e12/batch at
+    # B=256); the fusion model adds ~6% (docs/PROFILE.md)
+    w, s, layers = 768, 77, 12
+    return BATCH * layers * (24 * s * w * w + 4 * s * s * w) * 1.06
+
+
+# bf16 peak of one TPU v5e (v5litepod) chip; the MFU denominator. Other
+# device kinds fall back to None rather than a wrong roofline.
+PEAK_BF16_FLOPS = {"v5e": 197e12, "v5litepod": 197e12, "v5lite": 197e12,
+                   "v6e": 918e12, "v4": 275e12, "v5p": 459e12}
+
+
+def peak_flops() -> float | None:
+    import jax
+
+    dev = jax.devices()[0]
+    kind = dev.device_kind.lower().replace(" ", "")
+    for key, peak in PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    # the axon PJRT plugin fronts a v5e chip (BASELINE.md hardware notes)
+    return PEAK_BF16_FLOPS["v5e"] if dev.platform == "axon" else None
 
 
 def bench_torch_reference() -> float | None:
@@ -251,11 +291,17 @@ def main():
             "metric": "tspm_qa_pairs_per_sec_per_chip",
             "value": round(qps, 2), "unit": "qa/s"}))
         return
-    jax_qps = bench_jax()
+    jax_qps, flops = bench_jax()
     torch_qps = bench_torch_reference()
     measured = torch_qps is not None
     if not measured:
         torch_qps = FALLBACK_TORCH_QPS
+    peak = peak_flops()
+    # roofline: fraction of the chip's bf16 peak the measured rate implies.
+    # Unlike vs_baseline (whose torch-CPU denominator swings 1.3-4.8 qa/s
+    # run to run), MFU is a stable acceptance gate: flops are read from the
+    # compiled graph and peak is a hardware constant.
+    mfu = (jax_qps / BATCH * flops / peak) if (flops and peak) else None
     print(json.dumps({
         "metric": "qa_pairs_per_sec_per_chip",
         "value": round(jax_qps, 2),
@@ -266,6 +312,8 @@ def main():
         # vs_baseline swings with it while `value` stays stable
         "torch_qps": round(torch_qps, 2),
         "torch_qps_measured": measured,
+        "flops_per_sample": round(flops / BATCH) if flops else None,
+        "mfu": round(mfu, 4) if mfu else None,
     }))
 
 
