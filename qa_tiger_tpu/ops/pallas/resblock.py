@@ -81,15 +81,17 @@ ATTN_R = int(os.environ.get("QA_TIGER_ATTN_R", "8"))
 # measured losses in docs/PROFILE.md; this packs the CONTRACTION dim).
 ATTN_PAIR = os.environ.get("QA_TIGER_ATTN_PAIR", "0") == "1"
 
-# Round-5 probes for the remaining 0.27 ms/layer slack (docs/PROFILE.md
-# "Remaining headroom" #1). Probe-only, parity-pinned in tests:
-# - QA_TIGER_ATTN_V=stack: per-head scores row-stacked into ONE
+# Round-5 layout work on the last 0.27 ms/layer of attn-half slack
+# (docs/PROFILE.md "Remaining headroom" #1 + the round-5 decomposition):
+# - QA_TIGER_ATTN_V=stack (DEFAULT): per-head scores row-stacked into ONE
 #   [r, heads*ceil8(gS), gS] block so the fp32 softmax runs as a single
-#   VPU chain instead of 12 serialized per-head chains (tests whether the
-#   slack is VPU-issue/pipelining between the 24 dots).
+#   VPU chain instead of 12 serialized per-head chains. Measured 1.918 ->
+#   1.863 ms/layer in the scan harness AND Mosaic compile 594 -> 58 s.
+#   QA_TIGER_ATTN_V= (empty) restores the per-head loop for A/Bs.
 # - QA_TIGER_ATTN_ABLATE=nosoftmax: softmax replaced by a scale (NOT
-#   numerically valid — ablation only) to price the whole softmax chain.
-ATTN_V = os.environ.get("QA_TIGER_ATTN_V", "")
+#   numerically valid — ablation only) to price the whole softmax chain
+#   (measured: 0.146 ms/layer).
+ATTN_V = os.environ.get("QA_TIGER_ATTN_V", "stack")
 ATTN_ABLATE = os.environ.get("QA_TIGER_ATTN_ABLATE", "")
 
 
@@ -173,11 +175,13 @@ def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         return x + out
     if ATTN_V == "stack":
         # all heads' scores row-stacked (each padded to the 8-sublane
-        # boundary so slices back out stay aligned); the mask add and the
-        # softmax then run as ONE VPU chain over the stacked block instead
-        # of 12 serialized per-head chains (measured: 1.918 -> 1.84
-        # ms/layer AND Mosaic compile 594 -> 58 s — the per-head softmax
-        # chains were what blew up both)
+        # boundary so slices back out stay aligned); the softmax then runs
+        # as ONE VPU chain over the stacked block instead of 12 serialized
+        # per-head chains (measured: 1.918 -> 1.863 ms/layer AND Mosaic
+        # compile 594 -> 58 s — the per-head softmax chains were what blew
+        # up both). Folding the mask add into the stacked block too was a
+        # measured LOSS (1.893 ms, compile back to 286 s) — keep it
+        # per-head, where it fuses into the score dot's epilogue.
         gsp = -(-gs // 8) * 8
         blocks = []
         for head in range(heads):
@@ -185,18 +189,12 @@ def _attn_core(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             k = qkv[:, :, W + head * hd:W + (head + 1) * hd]
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32) * scale + mask
             if gsp > gs:
                 s = jnp.concatenate(
                     [s, jnp.zeros((r, gsp - gs, gs), s.dtype)], axis=1)
             blocks.append(s)
         sall = jnp.concatenate(blocks, axis=1)        # [r, heads*gsp, gS]
-        if gsp > gs:
-            mrow = jnp.zeros((gsp - gs, gs), mask.dtype)
-            mask_t = jnp.concatenate([mask, mrow] * heads, axis=0)
-        else:
-            mask_t = jnp.concatenate([mask] * heads, axis=0)
-        sall = sall * scale + mask_t[None]
         sall = sall - jax.lax.stop_gradient(
             jnp.max(sall, axis=-1, keepdims=True))
         e = jnp.exp(sall)
