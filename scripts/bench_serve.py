@@ -115,6 +115,26 @@ def main():
         dt = time.perf_counter() - start
         qps = len(done) / dt
         stats = dict(svc.stats)
+
+        # --- dispatcher-only rate: every row PRE-BUILT (tokens cached,
+        # cache slots resolved, no payload dicts/topk/argsort on the bench
+        # core), enqueued straight onto the batcher queue in full-batch
+        # chunks. What remains is exactly the server: batch assembly ->
+        # ONE jitted dispatch -> completer materialize + fan-out. The gap
+        # between this number and the end-to-end one above is client-side
+        # per-row host work on the shared core, measured rather than
+        # asserted (VERDICT r4 #3).
+        rows = [svc._make_row(it["question"], it["video"]) for it in items]
+        futs = [{"event": threading.Event()} for _ in items]
+        start = time.perf_counter()
+        for i in range(0, len(rows), args.batch):
+            svc.queue.put((rows[i:i + args.batch],
+                           futs[i:i + args.batch]))
+        for f in futs:
+            assert f["event"].wait(timeout=120), "dispatcher-only row hung"
+            assert "error" not in f, f["error"]
+        server_qps = len(futs) / (time.perf_counter() - start)
+
         svc.shutdown()
         print(json.dumps({
             "metric": "serving_qa_pairs_per_sec",
@@ -126,6 +146,8 @@ def main():
             "cached_batches": stats.get("cached_batches", 0),
             "batches": stats.get("batches", 0),
             "avg_fill": round(stats["served"] / max(1, stats["rows"]), 3),
+            # server path alone (pre-built rows): the device+batcher rate
+            "server_side_qps": round(server_qps, 1),
         }))
 
 

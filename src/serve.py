@@ -220,7 +220,7 @@ class Service:
                     feats = self.store.get(f.stem)
                     tokens = self.tokenizer(
                         "warmup question", truncate=True)[0]
-                    return feats, tokens.astype(np.int64)
+                    return feats, tokens.astype(np.int32)
                 except FileNotFoundError:
                     pass
         t = int(self.cfg.data.get("num_frames", 60) or 60)
@@ -237,7 +237,7 @@ class Service:
                 feats[key] = rng.standard_normal(
                     (t, dims[key])).astype(np.float32)
         tokens = self.tokenizer("warmup question", truncate=True)[0]
-        return feats, tokens.astype(np.int64)
+        return feats, tokens.astype(np.int32)
 
     def _dispatch(self, rows):
         """rows: list of dicts {tokens, video, slot, feats}. Pads to the
@@ -246,11 +246,12 @@ class Service:
         on it, so the batcher can assemble the next batch while this one
         runs (JAX async dispatch is the pipeline)."""
         pad = self.batch_size - len(rows)
-        # int32 token ids: the BPE vocab is 49408 so int32 is lossless, and
-        # it halves the per-batch host->device quest transfer (the one
-        # serial host step left on the batcher thread)
+        # token ids are cached int32 in _tokens (the BPE vocab is 49408 so
+        # int32 is lossless; it halves the per-batch host->device quest
+        # transfer), so the stack here needs no per-batch astype copy —
+        # this is exactly the per-row host path that caps the serve rate
         quest = np.stack([r["tokens"] for r in rows]
-                         + [rows[0]["tokens"]] * pad).astype(np.int32)
+                         + [rows[0]["tokens"]] * pad)
         if self.cache_cap and self._dev_slots \
                 and all(r["slot"] is not None for r in rows):
             # TPU-native fast path: gather the batch from HBM-resident
@@ -310,6 +311,7 @@ class Service:
                 for fut in futs:
                     fut["error"] = self.failed
                     fut["event"].set()
+            self._fail_waiters([], self.failed)
             return
         self.ready.set()
         # rows accepted but not yet dispatched. Bulk enqueues
@@ -329,15 +331,21 @@ class Service:
                 pending_futs.extend(futs)
             deadline = time.monotonic() + self.max_wait
             while len(pending_rows) < self.batch_size:
-                remaining = deadline - time.monotonic()
+                if self._stop.is_set():
+                    break
+                remaining = min(deadline - time.monotonic(), 0.25)
                 if remaining <= 0:
                     break
                 try:
                     rows, futs = self._get_item(timeout=remaining)
                 except queue.Empty:
-                    break
+                    if time.monotonic() >= deadline:
+                        break
+                    continue
                 pending_rows.extend(rows)
                 pending_futs.extend(futs)
+            if self._stop.is_set():
+                break  # pending rows fail fast via the drain below
             rows = pending_rows[:self.batch_size]
             futures = pending_futs[:self.batch_size]
             del pending_rows[:self.batch_size]
@@ -352,12 +360,35 @@ class Service:
             # hand the in-flight device array to the completer and go
             # straight back to assembling the next batch — device compute
             # and the result fetch overlap with host-side batch assembly
+            placed = False
             while not self._stop.is_set():
                 try:
                     self._inflight.put((probs_dev, futures), timeout=0.25)
+                    placed = True
                     break
                 except queue.Full:
                     continue
+            if not placed:  # stopped mid-handoff: the completer will never
+                pending_futs.extend(futures)  # see this batch — fail it too
+        # shutdown: fail fast everything still waiting on this thread —
+        # rows buffered locally and items still in the queue would
+        # otherwise strand their callers for the full _await timeout
+        self._fail_waiters(pending_futs, "shutting down")
+
+    def _fail_waiters(self, futs, reason):
+        """Complete the given futures AND everything left in the request
+        queue with an error so predict/predict_many callers unblock
+        immediately instead of riding out the 120 s _await timeout."""
+        futs = list(futs)
+        while True:
+            try:
+                _, more = self._get_item(timeout=0)
+            except queue.Empty:
+                break
+            futs.extend(more)
+        for fut in futs:
+            fut.setdefault("error", reason)
+            fut["event"].set()
 
     def _get_item(self, timeout):
         """Pop one queue item as (rows, futures) lists. Accepts both the
@@ -391,6 +422,16 @@ class Service:
                 for fut in futures:  # error surfaces at materialization
                     fut["error"] = str(exc)
                     fut["event"].set()
+        # shutdown: batches still in flight never materialize — unblock
+        # their waiters instead of stranding them on the _await timeout
+        while True:
+            try:
+                _, futures = self._inflight.get_nowait()
+            except queue.Empty:
+                break
+            for fut in futures:
+                fut.setdefault("error", "shutting down")
+                fut["event"].set()
 
     # ------------------------------------------------------------------
     def _tokens(self, question: str) -> np.ndarray:
@@ -398,7 +439,7 @@ class Service:
             hit = self._tok_cache.get(question)
         if hit is not None:
             return hit
-        tokens = self.tokenizer(question, truncate=True)[0].astype(np.int64)
+        tokens = self.tokenizer(question, truncate=True)[0].astype(np.int32)
         ctx = self.runner.model_cfg.get("text_ctx")
         if ctx and int(tokens.argmax(-1)) >= ctx:
             raise ValueError(

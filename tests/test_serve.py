@@ -340,6 +340,30 @@ def test_bulk_enqueue_fills_batches(tmp_path):
         svc.shutdown()
 
 
+def test_shutdown_fails_pending_waiters_fast(tmp_path):
+    """Rows buffered in the batcher (partial batch waiting on the fill
+    window) or still in the queue at shutdown must be completed with an
+    error promptly — not stranded for the 120 s _await timeout."""
+    import threading
+    import time as _time
+
+    svc = _tiny_service(tmp_path, batch_size=4)
+    svc.max_wait = 30.0  # a partial batch would wait here forever-ish
+
+    futs = [{"event": threading.Event()} for _ in range(3)]
+    row = {"tokens": np.zeros(77, np.int32), "video": "va", "slot": None,
+           "feats": None}
+    svc.queue.put(([row], [futs[0]]))           # picked up into pending
+    _time.sleep(0.6)                            # batcher now in fill window
+    svc.queue.put(([row, row], futs[1:]))       # still in the queue at stop
+    svc.shutdown()
+    t0 = _time.perf_counter()
+    for f in futs:
+        assert f["event"].wait(timeout=5), "waiter stranded at shutdown"
+        assert f.get("error"), f
+    assert _time.perf_counter() - t0 < 5
+
+
 def test_pipelined_batcher_overlap_order_and_errors(tmp_path):
     """The batcher must keep dispatching while earlier batches are still
     being materialized (the pipeline that hides device latency), answers
