@@ -58,6 +58,10 @@ SELF_HEAD_GROUP = int(os.environ.get("QA_TIGER_PSEL_HG", "1"))
 _ABLATE = os.environ.get("QA_TIGER_PSEL_ABLATE", "")  # probe-only knob
 # self-attention frame-pack split: 0 = auto (_self_splits), probe override
 SELF_COL_SPLIT = int(os.environ.get("QA_TIGER_PSEL_CS", "0"))
+# Round-5 probe: route the self-attention's per-head softmax chains through
+# ONE row-stacked chain (the resblock stack layout). Opt-in via
+# QA_TIGER_PSEL_STACK=1 until the on-chip A/B lands.
+SELF_STACK = os.environ.get("QA_TIGER_PSEL_STACK", "0") == "1"
 
 
 def _self_splits(tile: int, p: int) -> int:
@@ -134,11 +138,39 @@ def _packed_heads_attn(q2d, k2d, v2d, *, heads, sq, sk, scale, dtype,
     D = q2d.shape[-1]
     hd = D // heads
     G = k2d.shape[0] // sk
+    Q = q2d.shape[0]
     rows = jax.lax.broadcasted_iota(
-        jnp.int32, (q2d.shape[0], k2d.shape[0]), 0) // sq
+        jnp.int32, (Q, k2d.shape[0]), 0) // sq
     cols = jax.lax.broadcasted_iota(
-        jnp.int32, (q2d.shape[0], k2d.shape[0]), 1) // sk
+        jnp.int32, (Q, k2d.shape[0]), 1) // sk
     same = rows == cols
+    if SELF_STACK and not _skip_softmax and Q % 8 == 0:
+        # all heads' masked scores row-stacked through ONE softmax chain
+        # (the resblock kernel's round-5 stack layout: merging the per-head
+        # fp32 softmax chains measured faster AND cut Mosaic compile 10x
+        # there; Q=112/224 rows are already 8-aligned so no pads needed)
+        blocks = []
+        for h in range(heads):
+            s = jax.lax.dot_general(
+                q2d[:, h * hd:(h + 1) * hd], k2d[:, h * hd:(h + 1) * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            blocks.append(jnp.where(same, s, -jnp.inf))
+        sall = jnp.concatenate(blocks, axis=0)           # [H*Q, G*sk]
+        sall = sall - jax.lax.stop_gradient(
+            jnp.max(sall, axis=-1, keepdims=True))
+        e = jnp.exp(sall)
+        pall = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        ctxs = []
+        for h in range(heads):
+            p = pall[h * Q:(h + 1) * Q]
+            if keep2d is not None:
+                keep_h = keep2d[:, h * sk:(h + 1) * sk]
+                p = p * _tile_keep(keep_h, G).astype(p.dtype)
+            ctxs.append(jnp.dot(p, v2d[:, h * hd:(h + 1) * hd],
+                                preferred_element_type=jnp.float32)
+                        .astype(dtype))
+        return jnp.concatenate(ctxs, axis=-1)
     ctxs = []
     for h in range(heads):
         qh = q2d[:, h * hd:(h + 1) * hd]

@@ -243,6 +243,44 @@ class TestFusedPatchSelectTrain:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestSelfStackSoftmax:
+    """QA_TIGER_PSEL_STACK=1 (all heads' self-attention scores row-stacked
+    through ONE softmax chain) must reproduce the per-head loop exactly —
+    softmax normalizes rows independently, so stacking order cannot change
+    any head's probabilities."""
+
+    @pytest.mark.parametrize("train", [False, True])
+    def test_stack_matches_per_head(self, train, monkeypatch):
+        import qa_tiger_tpu.ops.pallas.patch_select as PS
+
+        cfg = qa_tiger_config(d_model=64, video_dim=64, patch_dim=48,
+                              audio_dim=32)
+        params = qa_tiger_init(jax.random.PRNGKey(0), cfg,
+                               init_text_encoder=False)["patch_selecter"]
+        rng = np.random.default_rng(3)
+        patch = jnp.asarray(rng.standard_normal((2, 4, 14, 64)), jnp.float32)
+        audio = jnp.asarray(rng.standard_normal((2, 4, 64)), jnp.float32)
+        video = jnp.asarray(rng.standard_normal((2, 4, 64)), jnp.float32)
+        masks = M.make_patch_dropout_masks(
+            jax.random.PRNGKey(2), 8, 14, 64, nhead=8, dropout_p=0.1) \
+            if train else None
+
+        def run():
+            if train:
+                return fused_patch_select_train(patch, audio, video, params,
+                                                masks, 8, 4, True)
+            return fused_patch_select(patch, audio, video, params, 8, 4,
+                                      True)
+
+        monkeypatch.setattr(PS, "SELF_STACK", False)
+        want = run()
+        monkeypatch.setattr(PS, "SELF_STACK", True)
+        got = run()
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-5, atol=2e-5)
+
+
 class TestTrainKernelGeometry:
     """Shape/dtype generality of the train kernels (interpret mode): the
     shipped config is P=14/H=8/D=512, but nothing in the mask geometry or
