@@ -50,6 +50,16 @@ except ImportError:  # pragma: no cover
 # QA_TIGER_AVQ_TILE for on-chip ablations
 AVQ_TILE = int(os.environ.get("QA_TIGER_AVQ_TILE", "8"))
 
+# QA_TIGER_AVQ_V=stack (DEFAULT): every head's scores row-stacked through
+# ONE softmax chain per attention (and one stacked dsoftmax chain in the
+# backward) instead of `heads` serialized per-head VPU chains. This is the
+# resblock kernel's round-5 stack layout (measured there: 1.918 -> 1.863
+# ms/layer AND Mosaic compile 594 -> 58 s); this module has 3 attentions
+# x 8 heads per kernel — 24 fwd chains + 48 in the recompute-backward —
+# which is what drove the full-shape train compile past the 40 min
+# timeout on-chip (2026-08-19). QA_TIGER_AVQ_V= restores the loop.
+AVQ_V = os.environ.get("QA_TIGER_AVQ_V", "stack")
+
 
 def _ln(x32, w, b, eps=1e-5):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -92,14 +102,53 @@ def _bdot(a, b, contract_a, contract_b):
         preferred_element_type=jnp.float32)
 
 
+def _pad_rows(x, Tp, Tq):
+    """Pad a [nb, Tq, Sk] block to Tp rows on axis 1 (8-sublane align)."""
+    if Tp == Tq:
+        return x
+    nb, _, Sk = x.shape
+    return jnp.concatenate([x, jnp.zeros((nb, Tp - Tq, Sk), x.dtype)],
+                           axis=1)
+
+
 def _attn_fwd(q3, k3, v3, keep2d, *, heads, scale, dt, want_probs=False):
     """Per-head attention over 3D blocks; keep2d [tile*Tq, >=heads*Sk] is
     the pre-scaled prob-dropout mask (lane h*Sk+key). Returns ctx
-    [tile, Tq, D] (+ per-head (P, Pd) lists when want_probs)."""
+    [tile, Tq, D] (+ (P, Pd) intermediates when want_probs: stacked
+    [nb, heads*Tp, Sk] arrays under AVQ_V=stack, per-head lists in loop
+    mode — _attn_bwd branches on the same flag so the formats agree)."""
     nb, Tq, D = q3.shape
     Sk = k3.shape[1]
     hd = D // heads
     ctxs, Ps, Pds = [], [], []
+    if AVQ_V == "stack":
+        # every head's scores through ONE softmax chain (row-stacked, each
+        # block padded to the 8-sublane boundary so slices stay aligned;
+        # pad rows softmax to uniform and are discarded)
+        Tp = -(-Tq // 8) * 8
+        blocks = []
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            s = _bdot(q3[:, :, sl], k3[:, :, sl], 2, 2) * scale
+            blocks.append(_pad_rows(s, Tp, Tq))
+        sall = jnp.concatenate(blocks, axis=1)        # [nb, heads*Tp, Sk]
+        sall = sall - jax.lax.stop_gradient(
+            jnp.max(sall, axis=-1, keepdims=True))
+        e = jnp.exp(sall)
+        prob_all = e / jnp.sum(e, axis=-1, keepdims=True)    # fp32
+        pd_blocks = []
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            prob = prob_all[:, h * Tp:h * Tp + Tq]
+            keep = keep2d[:, h * Sk:(h + 1) * Sk].reshape(nb, Tq, Sk)
+            pd = (prob * keep.astype(prob.dtype)).astype(dt)
+            ctxs.append(_bdot(pd, v3[:, :, sl], 2, 1).astype(dt))
+            if want_probs:
+                pd_blocks.append(_pad_rows(pd, Tp, Tq))
+        ctx = jnp.concatenate(ctxs, axis=-1)                 # [nb, Tq, D]
+        if want_probs:
+            return ctx, prob_all, jnp.concatenate(pd_blocks, axis=1)
+        return ctx
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
         s = _bdot(q3[:, :, sl], k3[:, :, sl], 2, 2) * scale  # [nb,Tq,Sk]
@@ -119,11 +168,39 @@ def _attn_fwd(q3, k3, v3, keep2d, *, heads, scale, dt, want_probs=False):
 
 
 def _attn_bwd(g_ctx3, q3, k3, v3, Ps, Pds, keep2d, *, heads, scale, dt):
-    """Gradients of _attn_fwd w.r.t. q3, k3, v3 given g_ctx3 [nb,Tq,D]."""
+    """Gradients of _attn_fwd w.r.t. q3, k3, v3 given g_ctx3 [nb,Tq,D].
+    Under AVQ_V=stack, Ps/Pds are the stacked [nb, heads*Tp, Sk] arrays
+    and the dsoftmax reduce chain runs ONCE over the stacked block."""
     nb, Tq, D = q3.shape
     Sk = k3.shape[1]
     hd = D // heads
     gq, gk, gv = [], [], []
+    if AVQ_V == "stack":
+        Tp = -(-Tq // 8) * 8
+        prob_all, pd_all = Ps, Pds
+        gPd_blocks, keep_blocks = [], []
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            gc = g_ctx3[:, :, sl]                            # [nb,Tq,hd]
+            gv.append(_bdot(pd_all[:, h * Tp:h * Tp + Tq], gc, 1, 1)
+                      .astype(dt))                           # [nb,Sk,hd]
+            gPd_blocks.append(_pad_rows(_bdot(gc, v3[:, :, sl], 2, 2),
+                                        Tp, Tq))
+            keep = keep2d[:, h * Sk:(h + 1) * Sk].reshape(nb, Tq, Sk)
+            keep_blocks.append(_pad_rows(keep.astype(jnp.float32), Tp, Tq))
+        gP_all = (jnp.concatenate(gPd_blocks, axis=1)
+                  * jnp.concatenate(keep_blocks, axis=1))
+        # dsoftmax over the stacked block (pad rows: gP=0 -> gS=0)
+        gS_all = (prob_all * (gP_all - jnp.sum(gP_all * prob_all, axis=-1,
+                                               keepdims=True))).astype(dt)
+        for h in range(heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            gS = gS_all[:, h * Tp:h * Tp + Tq]
+            gq.append((_bdot(gS, k3[:, :, sl], 2, 1) * scale).astype(dt))
+            gk.append((_bdot(gS, q3[:, :, sl], 1, 1) * scale).astype(dt))
+        return (jnp.concatenate(gq, axis=-1),
+                jnp.concatenate(gk, axis=-1),
+                jnp.concatenate(gv, axis=-1))
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
         gc = g_ctx3[:, :, sl]                                # [nb,Tq,hd]

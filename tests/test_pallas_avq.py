@@ -110,6 +110,42 @@ class TestFusedAVQTrain:
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32), **tol)
 
+    def test_stack_matches_per_head_loop(self):
+        """AVQ_V=stack (every head's scores/dsoftmax through ONE stacked
+        chain, the resblock round-5 layout) must reproduce the per-head
+        loop exactly — softmax and its gradient act on rows independently,
+        so stacking (with discarded uniform pad rows) cannot change any
+        head's numbers. T=6 forces Tp=8 so the pad rows are exercised."""
+        import qa_tiger_tpu.ops.pallas.avq as A
+
+        params, src, val, wrd, masks = _setup(N=4, T=6, S=9)
+
+        def run():
+            def loss(s, pr):
+                out = fused_avq_train(s, val, wrd, pr, masks, 4, 2, True)
+                return jnp.sum(out ** 2)
+
+            out = fused_avq_train(src, val, wrd, params, masks, 4, 2, True)
+            return [out] + list(jax.tree_util.tree_leaves(
+                jax.grad(loss, argnums=(0, 1))(src, params)))
+
+        orig = A.AVQ_V
+        try:
+            A.AVQ_V = ""
+            want = run()
+            A.AVQ_V = "stack"
+            got = run()
+        finally:
+            A.AVQ_V = orig
+        # forward near-bitwise; grads see fp32 accumulation-order noise
+        # (XLA vectorizes the stacked-shape reductions differently), so
+        # they get the file's established grad bar
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=2e-5, atol=2e-6)
+        for g, w in zip(got[1:], want[1:]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=2e-3, atol=2e-5)
+
     def test_param_grads_cover_every_leaf(self):
         # every AVQ parameter leaf must receive a finite, generally nonzero
         # gradient through the hand-written backward
