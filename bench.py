@@ -292,7 +292,10 @@ def main():
             "value": round(qps, 2), "unit": "qa/s"}))
         return
     jax_qps, flops = bench_jax()
-    torch_qps = bench_torch_reference()
+    # QA_TIGER_SKIP_TORCH=1: skip the 10-15 min torch-CPU denominator for
+    # quick A/B iterations (vs_baseline then uses the documented fallback)
+    torch_qps = None if os.environ.get("QA_TIGER_SKIP_TORCH") == "1" \
+        else bench_torch_reference()
     measured = torch_qps is not None
     if not measured:
         torch_qps = FALLBACK_TORCH_QPS

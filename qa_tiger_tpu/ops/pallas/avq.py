@@ -112,11 +112,16 @@ def _pad_rows(x, Tp, Tq):
 
 
 def _attn_fwd(q3, k3, v3, keep2d, *, heads, scale, dt, want_probs=False):
-    """Per-head attention over 3D blocks; keep2d [tile*Tq, >=heads*Sk] is
-    the pre-scaled prob-dropout mask (lane h*Sk+key). Returns ctx
-    [tile, Tq, D] (+ (P, Pd) intermediates when want_probs: stacked
-    [nb, heads*Tp, Sk] arrays under AVQ_V=stack, per-head lists in loop
-    mode — _attn_bwd branches on the same flag so the formats agree)."""
+    """Per-head attention over 3D blocks. In loop mode keep2d is the
+    [tile*Tq, heads*Sk] pre-scaled prob-dropout mask (lane h*Sk+key); under
+    AVQ_V=stack it arrives HOST-pre-stacked as [tile, heads*Tp, Sk]
+    (_stack_mask) so the kernel never concatenates mask slices — Mosaic's
+    tpu.concatenate requires uniform lane offsets and the h*Sk lane-slice
+    layouts broke it ("result/input offset mismatch", on-chip 2026-08-19).
+    Returns ctx [tile, Tq, D] (+ (P, Pd) intermediates when want_probs:
+    the stacked fp32 prob block and None under stack mode — the backward
+    recomputes pd from prob and the stacked mask — per-head lists in loop
+    mode; _attn_bwd branches on the same flag so the formats agree)."""
     nb, Tq, D = q3.shape
     Sk = k3.shape[1]
     hd = D // heads
@@ -124,7 +129,8 @@ def _attn_fwd(q3, k3, v3, keep2d, *, heads, scale, dt, want_probs=False):
     if AVQ_V == "stack":
         # every head's scores through ONE softmax chain (row-stacked, each
         # block padded to the 8-sublane boundary so slices stay aligned;
-        # pad rows softmax to uniform and are discarded)
+        # pad rows softmax to uniform and are discarded). Only dot outputs
+        # (uniform zero-offset layouts) are ever concatenated.
         Tp = -(-Tq // 8) * 8
         blocks = []
         for h in range(heads):
@@ -136,18 +142,15 @@ def _attn_fwd(q3, k3, v3, keep2d, *, heads, scale, dt, want_probs=False):
             jnp.max(sall, axis=-1, keepdims=True))
         e = jnp.exp(sall)
         prob_all = e / jnp.sum(e, axis=-1, keepdims=True)    # fp32
-        pd_blocks = []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
             prob = prob_all[:, h * Tp:h * Tp + Tq]
-            keep = keep2d[:, h * Sk:(h + 1) * Sk].reshape(nb, Tq, Sk)
+            keep = keep2d[:, h * Tp:h * Tp + Tq]
             pd = (prob * keep.astype(prob.dtype)).astype(dt)
             ctxs.append(_bdot(pd, v3[:, :, sl], 2, 1).astype(dt))
-            if want_probs:
-                pd_blocks.append(_pad_rows(pd, Tp, Tq))
         ctx = jnp.concatenate(ctxs, axis=-1)                 # [nb, Tq, D]
         if want_probs:
-            return ctx, prob_all, jnp.concatenate(pd_blocks, axis=1)
+            return ctx, prob_all, None
         return ctx
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
@@ -177,19 +180,23 @@ def _attn_bwd(g_ctx3, q3, k3, v3, Ps, Pds, keep2d, *, heads, scale, dt):
     gq, gk, gv = [], [], []
     if AVQ_V == "stack":
         Tp = -(-Tq // 8) * 8
-        prob_all, pd_all = Ps, Pds
-        gPd_blocks, keep_blocks = [], []
+        prob_all = Ps                       # stacked [nb, heads*Tp, Sk]
+        gPd_blocks = []
         for h in range(heads):
             sl = slice(h * hd, (h + 1) * hd)
             gc = g_ctx3[:, :, sl]                            # [nb,Tq,hd]
-            gv.append(_bdot(pd_all[:, h * Tp:h * Tp + Tq], gc, 1, 1)
-                      .astype(dt))                           # [nb,Sk,hd]
+            # recompute pd for this head from the stacked prob + mask
+            # (cheaper than stacking pd in the forward, and it keeps every
+            # concatenated block a zero-offset dot output)
+            pd = (prob_all[:, h * Tp:h * Tp + Tq]
+                  * keep2d[:, h * Tp:h * Tp + Tq].astype(jnp.float32)
+                  ).astype(dt)
+            gv.append(_bdot(pd, gc, 1, 1).astype(dt))        # [nb,Sk,hd]
             gPd_blocks.append(_pad_rows(_bdot(gc, v3[:, :, sl], 2, 2),
                                         Tp, Tq))
-            keep = keep2d[:, h * Sk:(h + 1) * Sk].reshape(nb, Tq, Sk)
-            keep_blocks.append(_pad_rows(keep.astype(jnp.float32), Tp, Tq))
+        # stacked mask rows are zero in the pad region, so gP pads to 0
         gP_all = (jnp.concatenate(gPd_blocks, axis=1)
-                  * jnp.concatenate(keep_blocks, axis=1))
+                  * keep2d.astype(jnp.float32))
         # dsoftmax over the stacked block (pad rows: gP=0 -> gS=0)
         gS_all = (prob_all * (gP_all - jnp.sum(gP_all * prob_all, axis=-1,
                                                keepdims=True))).astype(dt)
@@ -449,13 +456,33 @@ def _pad_batch(x, n):
     return jnp.pad(x, ((0, n),) + ((0, 0),) * (x.ndim - 1)) if n else x
 
 
-def _geometry(src, val, wrd, masks, tile):
+def _stack_mask(m, T, heads, Sk):
+    """[N*T, >=heads*Sk] lane-padded attention-prob mask -> head-stacked
+    [N, heads*Tp, Sk] (Tp = T rounded up to the 8-sublane boundary; pad
+    rows zero). Runs in XLA outside the kernel, so the kernel's stacked
+    softmax / dsoftmax chains consume the mask with plain aligned row
+    slices instead of per-head lane slices (whose layouts Mosaic cannot
+    concatenate). Sk is the true key length — the mask's lane dim carries
+    128-boundary padding that must be stripped before the head split."""
+    N = m.shape[0] // T
+    Tp = -(-T // 8) * 8
+    m4 = jnp.moveaxis(m[:, :heads * Sk].reshape(N, T, heads, Sk), 2, 1)
+    if Tp > T:
+        m4 = jnp.pad(m4, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    return m4.reshape(N, heads * Tp, Sk)
+
+
+def _geometry(src, val, wrd, masks, tile, heads):
     N, T, D = src.shape
     pad = (-N) % tile
     arrs = (_pad_batch(src, pad), _pad_batch(val, pad), _pad_batch(wrd, pad))
     m = tuple(_pad_batch(masks[k], pad * T)
               for k in ("qst", "slf", "crs",
                         "d_slf", "d_crs", "d_qst", "ffn1", "ffn2"))
+    if AVQ_V == "stack":
+        S = wrd.shape[1]
+        m = (_stack_mask(m[0], T, heads, S), _stack_mask(m[1], T, heads, T),
+             _stack_mask(m[2], T, heads, T)) + m[3:]
     return N, T, D, pad, arrs, m
 
 
@@ -473,7 +500,9 @@ def _data_specs(tile, T, S, D, m):
         pl.BlockSpec((tile, T, D), lambda i: (i, 0, 0)),
         pl.BlockSpec((tile, T, D), lambda i: (i, 0, 0)),
         pl.BlockSpec((tile, S, D), lambda i: (i, 0, 0)),
-    ] + [pl.BlockSpec((tile * T, mm.shape[1]), lambda i: (i, 0))
+    ] + [pl.BlockSpec((tile,) + mm.shape[1:], lambda i: (i, 0, 0))
+         if mm.ndim == 3 else
+         pl.BlockSpec((tile * T, mm.shape[1]), lambda i: (i, 0))
          for mm in m])
 
 
@@ -486,7 +515,7 @@ def _compiler_kwargs(interpret, mb):
 
 def _pallas_fwd(src, val, wrd, masks, flat_w, *, nhead, tile, interpret):
     N, T, D, pad, (srcp, valp, wrdp), m = _geometry(src, val, wrd, masks,
-                                                    tile)
+                                                    tile, nhead)
     S = wrd.shape[1]
     dt = src.dtype
     n = (N + pad) // tile
@@ -506,7 +535,7 @@ def _pallas_fwd(src, val, wrd, masks, flat_w, *, nhead, tile, interpret):
 
 def _pallas_bwd(src, val, wrd, masks, flat_w, g, *, nhead, tile, interpret):
     N, T, D, pad, (srcp, valp, wrdp), m = _geometry(src, val, wrd, masks,
-                                                    tile)
+                                                    tile, nhead)
     S = wrd.shape[1]
     dt = src.dtype
     n = (N + pad) // tile
