@@ -50,6 +50,15 @@ except ImportError:  # pragma: no cover
 # QA_TIGER_AVQ_TILE for on-chip ablations
 AVQ_TILE = int(os.environ.get("QA_TIGER_AVQ_TILE", "8"))
 
+# The recompute-backward holds the whole forward's intermediates PLUS the
+# reverse chain live at once, so its stack is ~2.7x the forward's per batch
+# row: at the shipped shapes (N=64, T=60, S=77, D=512) tile=8 needs 112.9 MB
+# scoped vmem vs the ~100 MB limit (compile-time OOM, on-chip 2026-08-19,
+# masked by the smaller smoke shapes). The fixed part (20 fp32 weights +
+# 20 fp32 grad accumulators, ~30 MB) doesn't scale with tile, so halving
+# the bwd tile to 4 lands the stack at ~71 MB with margin.
+AVQ_BWD_TILE = int(os.environ.get("QA_TIGER_AVQ_BWD_TILE", "4"))
+
 # QA_TIGER_AVQ_V=stack (DEFAULT): every head's scores row-stacked through
 # ONE softmax chain per attention (and one stacked dsoftmax chain in the
 # backward) instead of `heads` serialized per-head VPU chains. This is the
@@ -534,6 +543,7 @@ def _pallas_fwd(src, val, wrd, masks, flat_w, *, nhead, tile, interpret):
 
 
 def _pallas_bwd(src, val, wrd, masks, flat_w, g, *, nhead, tile, interpret):
+    tile = min(tile, AVQ_BWD_TILE)  # see AVQ_BWD_TILE note above
     N, T, D, pad, (srcp, valp, wrdp), m = _geometry(src, val, wrd, masks,
                                                     tile, nhead)
     S = wrd.shape[1]

@@ -209,6 +209,38 @@ def main(argv=None):
                 jax.tree_util.tree_leaves(gk),
                 jax.tree_util.tree_leaves(gr), t0, failures, atol=0.1)
 
+        # ---- fused_avq_train at the SHIPPED train shapes (compile gate) ----
+        # The small shapes above can't catch scoped-vmem compile OOMs: at
+        # N=64/T=60/S=77/D=512 the recompute-backward needed 112.9 MB at bwd
+        # tile=8 vs the ~100 MB limit (on-chip 2026-08-19) — hence
+        # AVQ_BWD_TILE=4. Compile + one step, finiteness only (a full-shape
+        # oracle run would double the case's cost for no extra signal).
+        Nf, Tf, Sf, Df, hf = 64, 60, 77, 512, 8
+        f_p = jax.device_put(
+            M.avq_cross_attn_init(jax.random.PRNGKey(5), Df), dev)
+        f_src, f_val, f_wrd = (arr(Nf, Tf, Df), arr(Nf, Tf, Df),
+                               arr(Nf, Sf, Df))
+        f_m = jax.device_put(M.make_avq_dropout_masks(
+            jax.random.PRNGKey(6), Nf, Tf, Sf, Df, nhead=hf, dropout_p=0.1),
+            dev)
+
+        def loss_full(s, pr):
+            out = AVQ.fused_avq_train(s, f_val, f_wrd, pr, f_m, hf,
+                                      AVQ.AVQ_TILE, False)
+            return jnp.sum(out ** 2)
+
+        t0 = time.perf_counter()
+        try:
+            gfull = jax.grad(loss_full, argnums=(0, 1))(f_src, f_p)
+            leaves = jax.tree_util.tree_leaves(gfull)
+            _report("fused_avq_train[bwd@shipped]", leaves, leaves, t0,
+                    failures)
+        except Exception as e:  # compile OOM / lowering fault
+            print(f"FAIL fused_avq_train[bwd@shipped]   {type(e).__name__}: "
+                  f"{str(e)[:200]} ({time.perf_counter() - t0:6.1f}s)",
+                  flush=True)
+            failures.append("fused_avq_train[bwd@shipped]")
+
     if not args.skip_train_bwd:
         def loss_k(pt, pr):
             a, v = PS.fused_patch_select_train(pt, audio, video, pr, masks,
