@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--D", type=int, default=512)
     ap.add_argument("--nhead", type=int, default=8)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--jnp", action="store_true",
+                    help="time the masked jnp oracle path (XLA, no kernel) "
+                         "at the same shapes — calibrates this standalone "
+                         "harness against the in-step numbers")
     args = ap.parse_args()
 
     import jax
@@ -57,10 +61,16 @@ def main():
         M.make_avq_dropout_masks(ks[4], N, T, S, D, nhead=h, dropout_p=0.1),
         dev)
 
-    def fwd(s, p):
-        out = AVQ.fused_avq_train(s, val, wrd, p, masks, h, AVQ.AVQ_TILE,
-                                  None)  # None: kernel on TPU, jnp on CPU
-        return jnp.sum(out ** 2)
+    if args.jnp:
+        def fwd(s, p):
+            out = M.avq_sub_forward_masked(p, s, val, wrd, masks, nhead=h)
+            return jnp.sum(out ** 2)
+    else:
+        def fwd(s, p):
+            out = AVQ.fused_avq_train(s, val, wrd, p, masks, h,
+                                      AVQ.AVQ_TILE,
+                                      None)  # None: kernel on TPU, jnp on CPU
+            return jnp.sum(out ** 2)
 
     t0 = time.perf_counter()
     fwd_c = jax.jit(fwd).lower(src, params).compile()
