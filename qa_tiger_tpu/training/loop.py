@@ -141,6 +141,11 @@ class AVQARunner:
         self._train_step = jax.jit(
             partial(self._train_step_impl), donate_argnums=(0, 2)
         )
+        # opt-in multi-step dispatch (hyper_params.steps_per_dispatch=K):
+        # K train steps ride ONE jit call via lax.scan — see _multi_step_impl
+        self._train_multi = jax.jit(
+            partial(self._multi_step_impl), donate_argnums=(0, 2)
+        )
         self._eval_step = jax.jit(partial(self._eval_step_impl))
 
     # ------------------------------------------------------------------
@@ -278,6 +283,40 @@ class AVQARunner:
         trainable = jax.tree_util.tree_map(jnp.add, trainable, updates)
         return trainable, opt_state, losses
 
+    def _multi_step_impl(self, trainable, frozen, opt_state, window,
+                         lr, step_rng):
+        """K train steps in ONE dispatch: ``lax.scan`` over the window.
+
+        On a tunneled/remote backend each jit call pays ~3.5 ms of serial
+        host dispatch (trace-measured wall−device gap, docs/PROFILE.md);
+        scanning K steps inside one executable amortizes it K-fold while the
+        per-step math is byte-for-byte ``_train_step_impl``. The RNG stream
+        is the SAME one the host loop produces — each scanned step performs
+        the identical ``jax.random.split`` the per-step path performs and
+        the advanced key is returned — so params, Adam moments, and the
+        post-window ``_step_rng`` all match the K=1 path exactly (the
+        bitwise resume proof holds across a ``steps_per_dispatch`` change).
+        The scan body is traced once, so compile time matches the
+        single-step executable. Replaces the reference's strictly
+        per-batch host loop (src/trainutils.py:253-312).
+
+        ``window``: tuple of K device batches (stacked on-device here, so
+        inputs keep their committed 'data'-axis shardings).
+        """
+        batches = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *window)
+
+        def body(carry, mb):
+            tr, opt, key = carry
+            key, sub = jax.random.split(key)
+            tr, opt, losses = self._train_step_impl(
+                tr, frozen, opt, mb, lr, sub)
+            return (tr, opt, key), losses
+
+        (trainable, opt_state, step_rng), losses = jax.lax.scan(
+            body, (trainable, opt_state, step_rng), batches)
+        return trainable, opt_state, step_rng, losses
+
     @staticmethod
     def _accumulated_grads(loss_fn, trainable, batch, rng, accum):
         """lax.scan over `accum` microbatches; contributions are weighted by
@@ -350,23 +389,28 @@ class AVQARunner:
         sums: Dict[str, float] = {}
         count = 0
         epoch_time = time.time()
-        pending: list = []  # (batch_idx, device-scalar losses) per step
+        # ([batch_idx...], device losses — scalar leaves for single-step
+        # dispatches, [K] leaves for multi-step windows)
+        pending: list = []
 
         def _drain(buf) -> Dict[str, float]:
-            """One host sync for the whole window: fetch every buffered
-            step's losses, update running sums + per-step TB scalars."""
+            """One host sync for the whole log window: fetch every buffered
+            dispatch's losses, update running sums + per-step TB scalars."""
             if not buf:
                 return {}
             host = jax.device_get([ld for _, ld in buf])
             last: Dict[str, float] = {}
-            for (bi, _), ld in zip(buf, host):
-                last = {k: float(v) for k, v in ld.items()}
-                for k, v in last.items():
-                    sums[k] = sums.get(k, 0.0) + v
-                    if writer is not None:
-                        writer.add_scalar(
-                            f"train/loss/{k}", v,
-                            (epoch - 1) * (tot_batch + 1) + bi)
+            for (idxs, _), ld in zip(buf, host):
+                arrs = {k: np.atleast_1d(np.asarray(v))
+                        for k, v in ld.items()}
+                for j, bi in enumerate(idxs):
+                    last = {k: float(v[j]) for k, v in arrs.items()}
+                    for k, v in last.items():
+                        sums[k] = sums.get(k, 0.0) + v
+                        if writer is not None:
+                            writer.add_scalar(
+                                f"train/loss/{k}", v,
+                                (epoch - 1) * (tot_batch + 1) + bi)
             buf.clear()
             return last
         # profile_dir config key or QA_TIGER_PROFILE_DIR env: capture a
@@ -376,23 +420,53 @@ class AVQARunner:
         prof_dir = cfg.get("profile_dir") or os.environ.get(
             "QA_TIGER_PROFILE_DIR")
         prof_on = False
+        # opt-in multi-step dispatch (hyper_params.steps_per_dispatch=K):
+        # device batches buffer into a K-window dispatched as ONE scanned
+        # jit call (_multi_step_impl). debug/profiling keep per-step
+        # dispatch so step boundaries stay observable. Partial windows
+        # (epoch tail, log boundaries) fall back to the single-step
+        # executable — same math, one extra compile the first time.
+        k_steps = int(cfg.hyper_params.get("steps_per_dispatch", 1) or 1)
+        if cfg.debug or prof_dir:
+            k_steps = 1
+        window: list = []  # (batch_idx, device batch) awaiting dispatch
+
+        def _flush_window() -> None:
+            if not window:
+                return
+            if k_steps > 1 and len(window) == k_steps:
+                idxs = [bi for bi, _ in window]
+                batches = tuple(b for _, b in window)
+                (self.trainable, self.opt_state, self._step_rng,
+                 losses) = self._train_multi(
+                    self.trainable, self.frozen, self.opt_state, batches,
+                    jnp.float32(lr), self._step_rng)
+                pending.append((idxs, losses))
+            else:
+                for bi, b in window:
+                    self._step_rng, rng = jax.random.split(self._step_rng)
+                    self.trainable, self.opt_state, losses = \
+                        self._train_step(
+                            self.trainable, self.frozen, self.opt_state, b,
+                            jnp.float32(lr), rng)
+                    pending.append(([bi], losses))
+            window.clear()
+
         try:
             for batch_idx, host_batch in enumerate(loader):
                 if prof_dir and epoch == 1 and batch_idx == 1:
                     jax.profiler.start_trace(prof_dir)
                     prof_on = True
                 start_time = time.time()
-                self._step_rng, rng = jax.random.split(self._step_rng)
                 batch = self._device_batch(host_batch)
-                self.trainable, self.opt_state, losses = self._train_step(
-                    self.trainable, self.frozen, self.opt_state, batch,
-                    jnp.float32(lr), rng)
-
-                # keep the loss scalars ON DEVICE: a float() here would
-                # serialize dispatch against the ~20 ms step every batch
-                # (the reference host-syncs per batch, trainutils.py:276-287;
-                # the TPU-native form drains once per log window)
-                pending.append((batch_idx, losses))
+                window.append((batch_idx, batch))
+                if len(window) == k_steps:
+                    # keep the loss scalars ON DEVICE: a float() here would
+                    # serialize dispatch against the ~20 ms step every batch
+                    # (the reference host-syncs per batch,
+                    # trainutils.py:276-287; the TPU-native form drains once
+                    # per log window)
+                    _flush_window()
                 count += 1
 
                 if prof_on and batch_idx == 3:
@@ -401,6 +475,7 @@ class AVQARunner:
                     logger.info(f"Profiler trace written to {prof_dir}")
 
                 if batch_idx % cfg.log_interval == 0 or batch_idx == tot_batch:
+                    _flush_window()
                     last = _drain(pending)
                     batch_t = time.time() - start_time
                     elapsed = time.time() - epoch_time
@@ -419,6 +494,7 @@ class AVQARunner:
                 if cfg.debug and batch_idx == 10:
                     break
         finally:
+            _flush_window()
             _drain(pending)
             if prof_on:
                 jax.profiler.stop_trace()

@@ -37,6 +37,12 @@ def main():
                     help="opt-in question-feature cache "
                          "(hyper_params.cache_qst_features): the frozen text "
                          "tower is precomputed once; the step gathers rows")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="opt-in multi-step dispatch "
+                         "(hyper_params.steps_per_dispatch): K steps ride "
+                         "ONE jit call via lax.scan, amortizing the "
+                         "per-dispatch host cost (~3.5 ms on this tunneled "
+                         "backend)")
     ap.add_argument("--train-dtype", default="",
                     help="opt-in mixed precision, e.g. bfloat16 (fp32 "
                          "master weights; bf16 compute streams)")
@@ -106,42 +112,59 @@ def main():
         host_batch["ds_idx"] = np.arange(B, dtype=np.int32)
     dev_batch = runner._device_batch(host_batch)
 
-    def step(i):
-        runner.trainable, runner.opt_state, losses = runner._train_step(
-            runner.trainable, runner.frozen, runner.opt_state, dev_batch, lr,
-            jax.random.PRNGKey(i))
-        return losses
+    spd = max(args.steps_per_dispatch, 1)
+    if spd > 1:
+        # K steps per jit call (AVQARunner._multi_step_impl): the window
+        # reuses the same device batch K times — identical device load per
+        # step, one dispatch per window
+        window = tuple(dev_batch for _ in range(spd))
+
+        def step(i):
+            (runner.trainable, runner.opt_state, _,
+             losses) = runner._train_multi(
+                runner.trainable, runner.frozen, runner.opt_state, window,
+                lr, jax.random.PRNGKey(i))
+            return losses
+    else:
+        def step(i):
+            runner.trainable, runner.opt_state, losses = runner._train_step(
+                runner.trainable, runner.frozen, runner.opt_state, dev_batch,
+                lr, jax.random.PRNGKey(i))
+            return losses
+
+    def force(losses):
+        # force full materialization (block_until_ready can return early on
+        # the tunneled backend); loss scalars are tiny host transfers
+        float(np.asarray(losses["total_loss"]).ravel()[-1])
 
     t0 = time.perf_counter()
-    losses = step(0)
-    # force full materialization (block_until_ready can return early on the
-    # tunneled backend); loss scalars are tiny host transfers
-    float(losses["total_loss"])
+    force(step(0))
     print("# compile+first step: %.1fs" % (time.perf_counter() - t0),
           file=sys.stderr, flush=True)
     for i in range(3):
-        float(step(i)["total_loss"])
+        force(step(i))
     print("# warmup done", file=sys.stderr, flush=True)
     if args.trace:
         with jax.profiler.trace(args.trace):
             for i in range(3):
                 losses = step(1000 + i)
-            float(losses["total_loss"])
+            force(losses)
         print(f"# trace written to {args.trace}", file=sys.stderr, flush=True)
     rates = []
     for rep in range(args.repeats):
         start = time.perf_counter()
         for i in range(args.iters):
             losses = step(100 * rep + i)
-        float(losses["total_loss"])
+        force(losses)
         dt = time.perf_counter() - start
-        rates.append(args.iters / dt)
+        rates.append(args.iters * spd / dt)
     sps = float(np.median(rates))
     print(json.dumps({
-        "metric": "train_steps_per_sec_b%d%s%s%s" % (
+        "metric": "train_steps_per_sec_b%d%s%s%s%s" % (
             B, f"_accum{args.accum}" if args.accum > 1 else "",
             f"_{args.train_dtype}" if args.train_dtype else "",
-            "_cacheqst" if args.cache_qst else ""),
+            "_cacheqst" if args.cache_qst else "",
+            f"_spd{spd}" if spd > 1 else ""),
         "value": round(sps, 3),
         "unit": "steps/s",
         "qa_pairs_per_sec": round(sps * B, 2),
