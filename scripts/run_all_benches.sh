@@ -19,6 +19,9 @@ echo "train-bf16 exit=$?"; grep -v WARNING /tmp/final_train_bf16.log | tail -1
 echo "== bench_train cached-question"
 timeout 2400 python scripts/bench_train.py --cache-qst > /tmp/final_train_cacheqst.log 2>&1
 echo "train-cacheqst exit=$?"; grep -v WARNING /tmp/final_train_cacheqst.log | tail -1
+echo "== bench_train cached-question + 4 steps/dispatch (best train config)"
+timeout 2400 python scripts/bench_train.py --cache-qst --steps-per-dispatch 4 > /tmp/final_train_spd4.log 2>&1
+echo "train-spd4 exit=$?"; grep -v WARNING /tmp/final_train_spd4.log | tail -1
 echo "== bench tspm"
 timeout 1200 python bench.py --model tspm > /tmp/final_tspm.log 2>&1
 echo "tspm exit=$?"; grep -v WARNING /tmp/final_tspm.log | tail -1
