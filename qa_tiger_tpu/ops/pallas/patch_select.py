@@ -77,8 +77,13 @@ def _self_splits(tile: int, p: int) -> int:
     if tile % 2 == 0 and (n // 2) % 8 == 0:
         return 2
     return 1
-TRAIN_TILE = 16    # train fwd/bwd kernels: measured best (8: 17.6 ms,
-                   # 16: 16.4 ms, 32: 19.9 ms train step at B=32)
+# Train fwd/bwd kernel tile (frames per grid step). 16 measured best on the
+# round-3 UNSPLIT kernel (8: 17.6 ms, 16: 16.4 ms, 32: 19.9 ms train step at
+# B=32). Probe knob QA_TIGER_PSEL_TRAIN_TILE re-ablates now that the chunked
+# self-attention splits decouple score AREA from the tile: tile=32 + CS=4
+# keeps the [112,112] chunks while doubling the cross-attention streams'
+# query rows (16 -> 32 of the MXU's 128).
+TRAIN_TILE = int(os.environ.get("QA_TIGER_PSEL_TRAIN_TILE", "16"))
 
 
 def _ln(x32, w, b, eps=1e-5):
